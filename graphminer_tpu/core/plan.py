@@ -1,0 +1,121 @@
+"""Matching-order plan IR — the codegen plans as data.
+
+The reference generates C++ nested-loop kernels offline (codegen/vertex_gen.py
+→ src/*/cpu_kernels/*.h). Here the same information — matching order, set
+operations per level, symmetry-breaking bounds — is a small datastructure that
+the frontier engine (engine/frontier.py) traces into XLA. No source generation
+needed: JAX tracing plays the role of the C++ compiler.
+
+Level numbering: an embedding is (v0, v1, ..., v_{k-1}). Level i (2 <= i < k)
+describes how the candidate set C_i for vertex v_i is built from the already
+matched vertices. v0/v1 come from the edge task list (optionally symmetry-
+broken v1 < v0 on the host).
+
+Semantics (mirrors VertexSet.h:265-342 vocabulary):
+  C_i = source  ∩  N(v_j) for j in intersect  \\  N(v_j) for j in difference
+  then keep values < min(v_j : j in bound), drop values in {v_j : j in exclude}.
+  source = ('adj', j)  -> N(v_j)      | ('set', l) -> stored candidate set C_l
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class Level:
+    source: Tuple[str, int]                  # ('adj', j) or ('set', l)
+    intersect: Tuple[int, ...] = ()
+    difference: Tuple[int, ...] = ()
+    bound: Tuple[int, ...] = ()              # v < min(v_j)
+    exclude: Tuple[int, ...] = ()            # v != v_j
+    store: bool = False                      # keep C_i for reuse at deeper levels
+
+
+@dataclass(frozen=True)
+class Plan:
+    name: str
+    k: int                                   # pattern size (vertices)
+    levels: Tuple[Level, ...]                # len == k - 2, for v2..v_{k-1}
+    use_dag: bool = False                    # run on degree-oriented DAG
+    edge_sym_break: bool = False             # restrict tasks to v1 < v0
+    multiplicity: int = 1                    # divide final count by this
+
+    def __post_init__(self):
+        assert len(self.levels) == self.k - 2
+
+
+# ---- pattern plan library -------------------------------------------------
+# Symmetry-break structure matches the reference generated kernels so counts
+# are exactly comparable (cites are the parity reference, not the source):
+#   triangle  src/triangle/omp_base.cc:17-21 (DAG)
+#   k-clique  src/clique/cpu_kernels/automine_omp.h (DAG)
+#   diamond   src/sgl/cpu_kernels/diamond.h
+#   rectangle src/sgl/cpu_kernels/rectangle.h
+#   house     src/sgl/cpu_kernels/house.h
+#   pentagon  src/sgl/cpu_kernels/pentagon.h
+
+def clique_plan(k: int) -> Plan:
+    """k-clique on the oriented DAG: C_i = C_{i-1} ∩ N(v_{i-1})."""
+    assert k >= 3
+    levels = []
+    for i in range(2, k):
+        src = ('adj', 0) if i == 2 else ('set', i - 1)
+        levels.append(Level(source=src, intersect=(i - 1,), store=(i < k - 1)))
+    return Plan(name=f"{k}-clique", k=k, levels=tuple(levels), use_dag=True)
+
+
+TRIANGLE = clique_plan(3)
+
+DIAMOND = Plan(
+    name="diamond", k=4, edge_sym_break=True,
+    levels=(
+        Level(source=('adj', 0), intersect=(1,), store=True),   # v2 ∈ N(v0)∩N(v1)
+        Level(source=('set', 2), bound=(2,)),                   # v3 ∈ same set, v3<v2
+    ))
+
+RECTANGLE = Plan(
+    name="rectangle", k=4, edge_sym_break=True,
+    levels=(
+        Level(source=('adj', 0), bound=(1,)),                   # v2 ∈ N(v0), v2<v1
+        Level(source=('adj', 1), intersect=(2,), bound=(0,)),   # v3 ∈ N(v1)∩N(v2), v3<v0
+    ))
+
+HOUSE = Plan(
+    name="house", k=5, edge_sym_break=True,
+    levels=(
+        Level(source=('adj', 0), intersect=(1,)),               # v2 ∈ N(v0)∩N(v1)
+        Level(source=('adj', 1), exclude=(0, 2)),               # v3 ∈ N(v1)\{v0,v2}
+        Level(source=('adj', 0), intersect=(3,), exclude=(1, 2)),
+    ))
+
+PENTAGON = Plan(
+    name="pentagon", k=5, edge_sym_break=True,
+    levels=(
+        Level(source=('adj', 0), bound=(1,)),                   # v2 ∈ N(v0), v2<v1
+        Level(source=('adj', 2), bound=(0,), exclude=(1,)),     # v3 ∈ N(v2), v3<v0, ≠v1
+        Level(source=('adj', 1), intersect=(3,), bound=(0,), exclude=(2,)),
+    ))
+
+# tailed triangle: triangle (v0,v1,v2) + pendant v3 on v2.
+# Counted per automine_4motif structure: edge v1<v0, v2 ∈ N(0)∩N(1) (all
+# orientations of the triangle edge → each triangle counted once per edge
+# choice; pendant on exactly one designated vertex). We count:
+#   v2 ∈ N(v0)∩N(v1); v3 ∈ N(v2) \ (N(v0) ∪ N(v1)), v3∉{v0,v1}  → pendant on v2
+# plus pendant on v0 / v1 handled by the motif formula path instead; this plan
+# is the "pendant on the apex" variant used in differential tests only.
+TAILED_TRIANGLE_APEX = Plan(
+    name="tailed_triangle_apex", k=4, edge_sym_break=True,
+    levels=(
+        Level(source=('adj', 0), intersect=(1,)),
+        Level(source=('adj', 2), difference=(0, 1), exclude=(0, 1)),
+    ))
+
+
+SGL_PLANS = {
+    "diamond": DIAMOND,
+    "rectangle": RECTANGLE,
+    "4cycle": RECTANGLE,
+    "house": HOUSE,
+    "pentagon": PENTAGON,
+}

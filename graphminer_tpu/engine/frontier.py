@@ -1,0 +1,218 @@
+"""Plan-interpreting frontier engine.
+
+Executes a core.plan.Plan over chunks of edge tasks — the TPU redesign of the
+reference's two execution strategies in one engine:
+
+* the generated DFS nested loops (src/*/cpu_kernels/*.h, clique4_warp_edge.cuh)
+  become a statically-unrolled recursion over plan levels, one batched chunk of
+  embeddings per step instead of one embedding per warp;
+* the Pangolin BFS extend (extend_alloc → scan → extend_insert,
+  src/pangolin/clique/base.cu:16-226) becomes the level-expansion primitive:
+  candidate tiles [B, W] are compacted with a cumsum+scatter into a dense
+  frontier, which is consumed in fixed-size sub-chunks by a lax.while_loop —
+  so deep levels do O(#live embeddings) work, not O(B · W^depth).
+
+Shape discipline: every array is static-shape; only while-loop trip counts are
+data dependent. A dead embedding is marked by SENTINEL in its newest vertex
+slot and contributes exactly 0 everywhere.
+
+Two engines are kept:
+  engine="compact"  (default) — compaction + while_loop, fast and scalable
+  engine="map"      — direct nested lax.map over candidate slots; simple,
+                      used as a differential reference in tests
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.device_graph import DeviceGraph
+from ..core.plan import Plan, Level
+from ..ops import setops
+from ..utils.exec import sum_chunked, pad_to_chunks
+from ..types import SENTINEL, cdiv
+
+
+def _build_candidates(dg: DeviceGraph, lp: Level, verts: List[jax.Array],
+                      sets: Dict[int, jax.Array], width: int,
+                      backend: str):
+    """Candidate tile C [B, width] for the next vertex + optional upper bound.
+    Rows of dead embeddings (newest vertex == SENTINEL) come out all-SENTINEL."""
+    kind, j = lp.source
+    if kind == 'adj':
+        c = dg.gather_rows(verts[j], width)
+    else:
+        c = sets[j]
+    for j in lp.intersect:
+        c = setops.intersect(c, dg.gather_rows(verts[j], width), backend=backend)
+    for j in lp.difference:
+        c = setops.difference(c, dg.gather_rows(verts[j], width), backend=backend)
+    if lp.exclude:
+        anc = jnp.stack([verts[j] for j in lp.exclude], axis=1)
+        c = setops.exclude(c, anc)
+    upper = None
+    if lp.bound:
+        upper = functools.reduce(jnp.minimum, [verts[j] for j in lp.bound])
+    dead = verts[-1][:, None] == SENTINEL
+    c = jnp.where(dead, SENTINEL, c)
+    return c, upper
+
+
+def _is_pair_collapse(plan: Plan, idx: int) -> bool:
+    """True when level idx stores a set S and the final level just
+    re-enumerates S with bound v_{idx} (ordered pairs inside S) — then
+    Σ_{v∈S} |{u ∈ S : u < v}| = n(n-1)/2 with n = |S|. (The diamond
+    shortcut — reference counts these pairs explicitly, diamond.h:7-11.)"""
+    if idx != plan.k - 2:              # level idx must be second-to-last
+        return False
+    lvl = idx - 2
+    nxt = plan.levels[lvl + 1]
+    cur = plan.levels[lvl]
+    return (cur.store and nxt.source == ('set', idx)
+            and nxt.bound == (idx,) and not nxt.intersect
+            and not nxt.difference and not nxt.exclude)
+
+
+def _final_count(c: jax.Array, upper, last_vert: jax.Array) -> jax.Array:
+    cnt = setops.count_valid(c, upper)
+    return jnp.where(last_vert == SENTINEL, 0, cnt).astype(jnp.int64)
+
+
+# --------------------------------------------------------------------------
+# engine = "map": nested lax.map over candidate slots (reference engine)
+# --------------------------------------------------------------------------
+
+def _descend_map(dg, plan, idx, verts, sets, width, backend) -> jax.Array:
+    lp = plan.levels[idx - 2]
+    c, upper = _build_candidates(dg, lp, verts, sets, width, backend)
+
+    if idx == plan.k - 1:
+        return _final_count(c, upper, verts[-1])
+
+    if upper is not None:
+        c = setops.bounded(c, upper)
+
+    if _is_pair_collapse(plan, idx):
+        n = setops.count_valid(c).astype(jnp.int64)
+        return n * (n - 1) // 2
+
+    if lp.store:
+        sets = dict(sets)
+        sets[idx] = c
+
+    def slot_body(col):  # [B] vertex ids for this slot
+        cnt = _descend_map(dg, plan, idx + 1, verts + [col], sets, width, backend)
+        return jnp.where(col == SENTINEL, 0, cnt)
+
+    per_slot = jax.lax.map(slot_body, jnp.transpose(c))  # [W, B] int64
+    return jnp.sum(per_slot, axis=0)
+
+
+# --------------------------------------------------------------------------
+# engine = "compact": cumsum+scatter frontier compaction + while_loop
+# --------------------------------------------------------------------------
+
+def _compact(c: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Flatten live candidate slots into a dense frontier.
+
+    c: [B, W] SENTINEL-masked candidates.
+    Returns (vflat [B*W] vertices, pflat [B*W] parent rows, n live). Slots
+    beyond n are vertex=SENTINEL / parent=0. This is the extend_alloc → scan →
+    extend_insert step of the Pangolin engine as one vectorized op."""
+    b, w = c.shape
+    cap = b * w
+    flat = c.reshape(-1)
+    mask = flat != SENTINEL
+    pos = jnp.cumsum(mask) - 1
+    n = pos[-1] + 1
+    tgt = jnp.where(mask, pos, cap)  # out-of-range → dropped
+    vflat = jnp.full((cap,), SENTINEL, jnp.int32).at[tgt].set(flat, mode='drop')
+    parents = jax.lax.broadcasted_iota(jnp.int32, (b, w), 0).reshape(-1)
+    pflat = jnp.zeros((cap,), jnp.int32).at[tgt].set(parents, mode='drop')
+    return vflat, pflat, n.astype(jnp.int32)
+
+
+def _descend_compact(dg, plan, idx, emb, sets, width, sub, backend) -> jax.Array:
+    """emb: [B, idx] embeddings (row = (v0..v_{idx-1})); returns int64 scalar."""
+    b = emb.shape[0]
+    verts = [emb[:, j] for j in range(idx)]
+    lp = plan.levels[idx - 2]
+    c, upper = _build_candidates(dg, lp, verts, sets, width, backend)
+
+    if idx == plan.k - 1:
+        return jnp.sum(_final_count(c, upper, verts[-1]))
+
+    if upper is not None:
+        c = setops.bounded(c, upper)
+
+    if _is_pair_collapse(plan, idx):
+        n = setops.count_valid(c).astype(jnp.int64)
+        return jnp.sum(n * (n - 1) // 2)
+
+    if lp.store:
+        sets = dict(sets)
+        sets[idx] = c
+
+    vflat, pflat, n = _compact(c)
+    n_iters = (n + sub - 1) // sub
+
+    def body(i, total):
+        start = i * sub
+        vs = jax.lax.dynamic_slice(vflat, (start,), (sub,))
+        ps = jax.lax.dynamic_slice(pflat, (start,), (sub,))
+        new_emb = jnp.concatenate([emb[ps], vs[:, None]], axis=1)
+        new_sets = {l: s[ps] for l, s in sets.items()}
+        return total + _descend_compact(dg, plan, idx + 1, new_emb, new_sets,
+                                        width, sub, backend)
+
+    return jax.lax.fori_loop(0, n_iters, body, jnp.int64(0))
+
+
+# --------------------------------------------------------------------------
+# drivers
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=("plan", "width", "chunk", "backend"))
+def _count_device_map(dg: DeviceGraph, src, dst, *, plan: Plan, width: int,
+                      chunk: int, backend: str) -> jax.Array:
+    def fn(s, d):
+        return _descend_map(dg, plan, 2, [s, d], {}, width, backend)
+    return sum_chunked(fn, (src, dst), chunk)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("plan", "width", "chunk", "sub", "backend"))
+def _count_device_compact(dg: DeviceGraph, src, dst, *, plan: Plan, width: int,
+                          chunk: int, sub: int, backend: str) -> jax.Array:
+    srcs, dsts = pad_to_chunks((src, dst), chunk)
+
+    def body(xs):
+        s, d = xs
+        emb = jnp.stack([s, d], axis=1)
+        return _descend_compact(dg, plan, 2, emb, {}, width, sub, backend)
+
+    return jnp.sum(jax.lax.map(body, (srcs, dsts)))
+
+
+def count_pattern(g, plan: Plan, chunk: int = 2048, sub: Optional[int] = None,
+                  backend: str = "auto", width: Optional[int] = None,
+                  engine: str = "compact") -> int:
+    """End-to-end: host preprocessing per the plan, then chunked device count."""
+    if plan.use_dag and not g.is_dag:
+        g = g.orientation()
+    dg = DeviceGraph.from_host(g)
+    src, dst = g.edge_list(sym_break=plan.edge_sym_break)
+    width = width or max(8, g.max_degree)
+    src, dst = jnp.asarray(src), jnp.asarray(dst)
+    if engine == "map":
+        total = _count_device_map(dg, src, dst, plan=plan, width=width,
+                                  chunk=chunk, backend=backend)
+    else:
+        total = _count_device_compact(dg, src, dst, plan=plan, width=width,
+                                      chunk=chunk, sub=sub or chunk,
+                                      backend=backend)
+    return int(total) // plan.multiplicity
