@@ -31,6 +31,17 @@ def pad_to_chunks(arrays: Sequence[jax.Array], chunk: int, fill=SENTINEL):
     return tuple(out)
 
 
+def map_chunked(fn: Callable, arrays: Sequence[jax.Array], chunk: int):
+    """Apply fn over task chunks and concatenate per-task results.
+
+    fn maps chunk-shaped arrays -> per-task values [chunk] (or [chunk, ...]).
+    Returns the stacked result with padding rows still present; callers slice
+    [:n_tasks]."""
+    chunks = pad_to_chunks(arrays, chunk)
+    out = jax.lax.map(lambda xs: fn(*xs), chunks)
+    return out.reshape((-1,) + out.shape[2:])
+
+
 def sum_chunked(count_fn: Callable, arrays: Sequence[jax.Array], chunk: int,
                 n_counters: int = 0) -> jax.Array:
     """Σ over tasks of count_fn(*task_chunk).

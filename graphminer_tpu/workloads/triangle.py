@@ -11,6 +11,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.device_graph import DeviceGraph
 from ..ops import setops
@@ -19,26 +20,66 @@ from ..types import round_up, LANE
 
 
 def _edge_tc_kernel(dg: DeviceGraph, width: int, backend: str,
-                    src: jax.Array, dst: jax.Array) -> jax.Array:
+                    src: jax.Array, dst: jax.Array,
+                    width_b: int = None) -> jax.Array:
     a = dg.gather_rows(src, width)
-    b = dg.gather_rows(dst, width)
+    b = dg.gather_rows(dst, width_b or width)
     return setops.intersect_count(a, b, backend=backend)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "chunk", "backend"))
+@functools.partial(jax.jit,
+                   static_argnames=("width", "width_b", "chunk", "backend"))
 def _tc_device(dg: DeviceGraph, src, dst, *, width: int, chunk: int,
-               backend: str) -> jax.Array:
-    fn = functools.partial(_edge_tc_kernel, dg, width, backend)
+               backend: str, width_b: int = None) -> jax.Array:
+    fn = functools.partial(_edge_tc_kernel, dg, width, backend,
+                           width_b=width_b)
     return sum_chunked(fn, (src, dst), chunk)
 
 
-def triangle_count(g, chunk: int = 4096, backend: str = "auto") -> int:
-    """Exact triangle count of an undirected graph (HostGraph)."""
+def triangle_count(g, chunk: int = 16384, backend: str = "auto",
+                   bucketed: bool = True) -> int:
+    """Exact triangle count of an undirected graph (HostGraph).
+
+    bucketed=True partitions edges by endpoint degree class and runs one
+    fixed-width kernel per class pair (the TPU analogue of the reference's
+    warp/CTA strategy dispatch) — the default; exactness is unaffected."""
     if not g.is_dag:
         g = g.orientation()
     dg = DeviceGraph.from_host(g)
     src, dst = g.edge_list()
+    if not bucketed:
+        width = max(8, g.max_degree)
+        total = _tc_device(dg, jnp.asarray(src), jnp.asarray(dst),
+                           width=width, chunk=chunk, backend=backend)
+        return int(total)
+
+    from ..utils.bucketing import bucket_edge_tasks, pick_chunk
+    deg = np.diff(g.rowptr)
+    order, groups = bucket_edge_tasks(deg[src], deg[dst], max(8, g.max_degree))
+    src, dst = src[order], dst[order]
+    total = 0
+    for s, e, wa, wb in groups:
+        c = pick_chunk(e - s, max_chunk=chunk)
+        total += int(_tc_device(dg, jnp.asarray(src[s:e]), jnp.asarray(dst[s:e]),
+                                width=wa, width_b=wb, chunk=c, backend=backend))
+    return total
+
+
+@functools.partial(jax.jit, static_argnames=("width", "chunk", "backend"))
+def _tc_per_edge_device(dg: DeviceGraph, src, dst, *, width: int, chunk: int,
+                        backend: str) -> jax.Array:
+    from ..utils.exec import map_chunked
+    fn = functools.partial(_edge_tc_kernel, dg, width, backend)
+    return map_chunked(fn, (src, dst), chunk)
+
+
+def triangles_per_edge(g, src, dst, chunk: int = 4096,
+                       backend: str = "auto") -> jax.Array:
+    """tri_e = |N(u) ∩ N(v)| per (u,v) task on the *given* graph (use the
+    undirected graph for full per-edge triangle support — the building block
+    of the motif formula path and FSM edge support)."""
+    dg = DeviceGraph.from_host(g)
     width = max(8, g.max_degree)
-    total = _tc_device(dg, jnp.asarray(src), jnp.asarray(dst),
-                       width=width, chunk=chunk, backend=backend)
-    return int(total)
+    out = _tc_per_edge_device(dg, jnp.asarray(src), jnp.asarray(dst),
+                              width=width, chunk=chunk, backend=backend)
+    return out[: src.shape[0]]
