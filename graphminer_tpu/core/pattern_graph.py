@@ -1,0 +1,87 @@
+"""Small labeled pattern graphs + canonical forms.
+
+Parity: include/pattern.hh (pattern graph with labelling modes, predicates)
+and the gSpan canonicality machinery (src/fsm/canonical.h is_min /
+dfscode.h) — redesigned: instead of DFS-code minimality we canonicalize the
+(tiny) pattern graph directly by brute-force permutation minimization, which
+is exact for the ≤6-vertex patterns FSM explores and keeps the search loop
+simple (each pattern is visited from whichever parent reaches it first).
+"""
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+from typing import FrozenSet, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class PatternGraph:
+    """Connected labeled pattern: vertex labels + undirected edge set."""
+    vlabels: Tuple[int, ...]                       # label per pattern vertex
+    edges: Tuple[Tuple[int, int], ...]             # (u, v) with u < v
+
+    @property
+    def n_vertices(self) -> int:
+        return len(self.vlabels)
+
+    @property
+    def n_edges(self) -> int:
+        return len(self.edges)
+
+    def adjacency(self) -> np.ndarray:
+        a = np.zeros((self.n_vertices, self.n_vertices), dtype=bool)
+        for u, v in self.edges:
+            a[u, v] = a[v, u] = True
+        return a
+
+    def degree(self, v: int) -> int:
+        return sum(1 for e in self.edges if v in e)
+
+    def has_edge(self, u: int, v: int) -> bool:
+        return (min(u, v), max(u, v)) in self.edges
+
+    def add_forward(self, at: int, new_label: int) -> "PatternGraph":
+        """Attach a new vertex with new_label to pattern vertex `at`."""
+        nv = self.n_vertices
+        return PatternGraph(self.vlabels + (new_label,),
+                            self.edges + ((at, nv),))
+
+    def add_backward(self, u: int, v: int) -> "PatternGraph":
+        """Add edge between existing pattern vertices."""
+        assert not self.has_edge(u, v)
+        e = (min(u, v), max(u, v))
+        return PatternGraph(self.vlabels, self.edges + (e,))
+
+    def canonical_key(self):
+        """Brute-force canonical form: min over vertex permutations of the
+        (labels, edges) encoding. Exact for small patterns."""
+        n = self.n_vertices
+        best = None
+        a = self.adjacency()
+        for perm in itertools.permutations(range(n)):
+            labs = tuple(self.vlabels[p] for p in perm)
+            inv = [0] * n
+            for newid, old in enumerate(perm):
+                inv[old] = newid
+            es = tuple(sorted((min(inv[u], inv[v]), max(inv[u], inv[v]))
+                              for u, v in self.edges))
+            key = (labs, es)
+            if best is None or key < best:
+                best = key
+        return best
+
+    def automorphisms(self):
+        """All label/edge-preserving vertex permutations."""
+        n = self.n_vertices
+        a = self.adjacency()
+        out = []
+        for perm in itertools.permutations(range(n)):
+            if any(self.vlabels[perm[i]] != self.vlabels[i] for i in range(n)):
+                continue
+            ok = all(a[perm[u], perm[v]] == a[u, v]
+                     for u in range(n) for v in range(u + 1, n))
+            if ok:
+                out.append(perm)
+        return out
