@@ -44,6 +44,7 @@ class DeviceGraph:
     colidx: jax.Array           # int32 [Epad] (SENTINEL padded)
     deg: jax.Array              # int32 [V]
     adj_table: Optional[jax.Array]  # int32 [V, Wpad] or None
+    vlabels: Optional[jax.Array]    # int32 [V] or None
     n_vertices: int = dataclasses.field(metadata=dict(static=True))
     n_edges: int = dataclasses.field(metadata=dict(static=True))
     max_degree: int = dataclasses.field(metadata=dict(static=True))
@@ -71,11 +72,23 @@ class DeviceGraph:
                 g.rowptr[:-1], deg)
             table[src, offs] = g.colidx
 
+        vlab = None
+        if g.vlabels is not None:
+            vlab = g.vlabels.astype(np.int32)
+
         put = lambda x: jax.device_put(x, device) if x is not None else None
         return DeviceGraph(rowptr=put(rowptr), colidx=put(colidx),
                            deg=put(deg), adj_table=put(table),
+                           vlabels=put(vlab),
                            n_vertices=g.n_vertices, n_edges=g.n_edges,
                            max_degree=maxdeg)
+
+    def labels_of(self, vs: jax.Array) -> jax.Array:
+        """Vertex labels with -1 for invalid/padded ids."""
+        assert self.vlabels is not None
+        vs_safe = jnp.clip(vs, 0, self.n_vertices - 1)
+        valid = (vs >= 0) & (vs < self.n_vertices)
+        return jnp.where(valid, self.vlabels[vs_safe], -1)
 
     def gather_rows(self, vs: jax.Array, width: int) -> jax.Array:
         """Padded adjacency tiles: [B, width] int32, SENTINEL beyond deg(v).

@@ -72,6 +72,12 @@ class PatternGraph:
                 best = key
         return best
 
+    @staticmethod
+    def from_edges(edges, n_vertices: int, vlabels=None) -> "PatternGraph":
+        es = tuple(sorted((min(u, v), max(u, v)) for u, v in edges))
+        vl = tuple(vlabels) if vlabels is not None else (0,) * n_vertices
+        return PatternGraph(vl, es)
+
     def automorphisms(self):
         """All label/edge-preserving vertex permutations."""
         n = self.n_vertices
@@ -85,3 +91,35 @@ class PatternGraph:
             if ok:
                 out.append(perm)
         return out
+
+
+def _p(edges, n):
+    return PatternGraph.from_edges(edges, n)
+
+
+# Named unlabeled patterns (reference: src/sgl/cpu_kernels/ pattern set +
+# src/count/ decomposed patterns + include/pattern.hh predicates).
+NAMED_PATTERNS = {
+    "triangle": _p([(0, 1), (0, 2), (1, 2)], 3),
+    "wedge": _p([(0, 1), (0, 2)], 3),
+    "3path": _p([(0, 1), (1, 2)], 3),                     # alias of wedge
+    "rectangle": _p([(0, 1), (1, 2), (2, 3), (3, 0)], 4),
+    "4cycle": _p([(0, 1), (1, 2), (2, 3), (3, 0)], 4),
+    "diamond": _p([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3)], 4),
+    "4clique": _p([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)], 4),
+    "4path": _p([(0, 1), (1, 2), (2, 3)], 4),
+    "3star": _p([(0, 1), (0, 2), (0, 3)], 4),
+    "tailed_triangle": _p([(0, 1), (0, 2), (1, 2), (2, 3)], 4),
+    "house": _p([(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (1, 4)], 5),
+    "pentagon": _p([(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)], 5),
+    "5cycle": _p([(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)], 5),
+    "hourglass": _p([(0, 1), (0, 2), (1, 2), (0, 3), (0, 4), (3, 4)], 5),
+    "5path": _p([(0, 1), (1, 2), (2, 3), (3, 4)], 5),
+    "4star": _p([(0, 1), (0, 2), (0, 3), (0, 4)], 5),
+    "5clique": _p([(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (1, 3), (1, 4),
+                   (2, 3), (2, 4), (3, 4)], 5),
+    "semihouse": _p([(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (1, 4), (2, 4)], 5),
+    "dumbbell": _p([(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (0, 3)], 6),
+    "6path": _p([(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)], 6),
+    "tailed_diamond": _p([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 4)], 5),
+}

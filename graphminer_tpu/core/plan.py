@@ -30,6 +30,7 @@ class Level:
     bound: Tuple[int, ...] = ()              # v < min(v_j)
     exclude: Tuple[int, ...] = ()            # v != v_j
     store: bool = False                      # keep C_i for reuse at deeper levels
+    vlabel: Optional[int] = None             # required vertex label (query)
 
 
 @dataclass(frozen=True)
@@ -40,6 +41,8 @@ class Plan:
     use_dag: bool = False                    # run on degree-oriented DAG
     edge_sym_break: bool = False             # restrict tasks to v1 < v0
     multiplicity: int = 1                    # divide final count by this
+    v0_label: Optional[int] = None           # edge-task label filters (query)
+    v1_label: Optional[int] = None
 
     def __post_init__(self):
         assert len(self.levels) == self.k - 2
@@ -119,3 +122,64 @@ SGL_PLANS = {
     "house": HOUSE,
     "pentagon": PENTAGON,
 }
+
+
+# ---- generic plan generation (codegen/vertex_gen.py parity) ---------------
+
+def plan_from_pattern(pat, name: Optional[str] = None,
+                      labeled: bool = False) -> Plan:
+    """Compile an arbitrary connected PatternGraph into an executable Plan.
+
+    This replaces the reference's offline codegen (vertex_gen.py → generated
+    C++ loop nests): matching order is chosen greedily (max connectivity to
+    the prefix, degree tie-break, like pattern_sym_ord's order search), and
+    symmetry is handled by counting all ordered embeddings and dividing by
+    |Aut(pattern)| — exact because Aut acts freely on injective embeddings.
+    Hand-tuned plans (SGL_PLANS / clique_plan) stay preferable for the hot
+    named patterns; this generator covers the long tail and labeled queries.
+
+    labeled=True keeps per-vertex label constraints from pat.vlabels (query
+    workload); automorphisms are label-preserving either way.
+    """
+    n = pat.n_vertices
+    assert n >= 2 and pat.n_edges >= 1
+    a = pat.adjacency()
+    deg = a.sum(1)
+
+    # matching order: start at the highest-degree edge, grow by max
+    # connectivity to the prefix (ties: higher degree, lower id)
+    best_edge = max(pat.edges, key=lambda e: (deg[e[0]] + deg[e[1]],
+                                              max(deg[e[0]], deg[e[1]])))
+    u0, v0 = best_edge
+    if deg[v0] > deg[u0]:
+        u0, v0 = v0, u0
+    order = [u0, v0]
+    while len(order) < n:
+        rest = [w for w in range(n) if w not in order]
+        w = max(rest, key=lambda w: (sum(a[w, x] for x in order), deg[w], -w))
+        assert sum(a[w, x] for x in order) > 0, "pattern must be connected"
+        order.append(w)
+    pos = {w: i for i, w in enumerate(order)}
+
+    levels = []
+    for i in range(2, n):
+        w = order[i]
+        nbrs = tuple(sorted(pos[x] for x in range(n) if a[w, x] and pos[x] < i))
+        non_nbrs = tuple(sorted(pos[x] for x in range(n)
+                                if not a[w, x] and x != w and pos[x] < i))
+        levels.append(Level(
+            source=('adj', nbrs[0]),
+            intersect=nbrs[1:],
+            exclude=non_nbrs,            # injectivity wrt non-adjacent prefix
+            vlabel=int(pat.vlabels[w]) if labeled else None,
+        ))
+
+    aut = len(pat.automorphisms()) if not labeled else len(pat.automorphisms())
+    return Plan(
+        name=name or f"pattern_{n}v{pat.n_edges}e",
+        k=n,
+        levels=tuple(levels),
+        multiplicity=aut,
+        v0_label=int(pat.vlabels[u0]) if labeled else None,
+        v1_label=int(pat.vlabels[v0]) if labeled else None,
+    )

@@ -53,6 +53,8 @@ def _build_candidates(dg: DeviceGraph, lp: Level, verts: List[jax.Array],
     if lp.exclude:
         anc = jnp.stack([verts[j] for j in lp.exclude], axis=1)
         c = setops.exclude(c, anc)
+    if lp.vlabel is not None:
+        c = jnp.where(dg.labels_of(c) == lp.vlabel, c, SENTINEL)
     upper = None
     if lp.bound:
         upper = functools.reduce(jnp.minimum, [verts[j] for j in lp.bound])
@@ -206,7 +208,16 @@ def count_pattern(g, plan: Plan, chunk: int = 2048, sub: Optional[int] = None,
         g = g.orientation()
     dg = DeviceGraph.from_host(g)
     src, dst = g.edge_list(sym_break=plan.edge_sym_break)
+    if plan.v0_label is not None or plan.v1_label is not None:
+        vl = g.vlabels.astype(src.dtype)
+        keep = (vl[src] == plan.v0_label) if plan.v0_label is not None else \
+            (src == src)
+        if plan.v1_label is not None:
+            keep &= vl[dst] == plan.v1_label
+        src, dst = src[keep], dst[keep]
     width = width or max(8, g.max_degree)
+    if plan.k == 2:  # single-edge pattern: the task list itself is the answer
+        return int(src.shape[0]) // plan.multiplicity
     src, dst = jnp.asarray(src), jnp.asarray(dst)
     if engine == "map":
         total = _count_device_map(dg, src, dst, plan=plan, width=width,

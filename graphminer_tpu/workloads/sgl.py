@@ -6,13 +6,25 @@ from core.plan interpreted by the frontier engine.
 """
 from __future__ import annotations
 
-from ..core.plan import SGL_PLANS
+from ..core.pattern_graph import NAMED_PATTERNS, PatternGraph
+from ..core.plan import SGL_PLANS, plan_from_pattern
 from ..engine.frontier import count_pattern
 
 
-def sgl_count(g, pattern: str, chunk: int = 1024, backend: str = "auto") -> int:
-    try:
-        plan = SGL_PLANS[pattern.lower()]
-    except KeyError:
-        raise ValueError(f"unknown pattern {pattern!r}; have {sorted(SGL_PLANS)}")
+def sgl_count(g, pattern, chunk: int = 1024, backend: str = "auto") -> int:
+    """Count a named pattern (hand-tuned plan when available, generated plan
+    otherwise — the 'drop a generated kernel into cpu_kernels/' extension
+    point of the reference, omp_base.cc:16-52, as a single function call)."""
+    if isinstance(pattern, PatternGraph):
+        plan = plan_from_pattern(pattern)
+    else:
+        key = pattern.lower()
+        if key in SGL_PLANS:
+            plan = SGL_PLANS[key]
+        elif key in NAMED_PATTERNS:
+            plan = plan_from_pattern(NAMED_PATTERNS[key], name=key)
+        else:
+            raise ValueError(
+                f"unknown pattern {pattern!r}; have "
+                f"{sorted(set(SGL_PLANS) | set(NAMED_PATTERNS))}")
     return count_pattern(g, plan, chunk=chunk, backend=backend)

@@ -55,6 +55,26 @@ def count_iso(g, pattern_edges, n_pat, automorphisms: int) -> int:
     return count // automorphisms
 
 
+def count_noninduced(g, pattern_edges, n_pat, vlabels=None):
+    """# subgraph isomorphisms / |Aut| (non-induced embeddings), optionally
+    label-constrained. Brute force — small graphs only."""
+    from graphminer_tpu.core.pattern_graph import PatternGraph
+    a = dense_adj(g)
+    n = a.shape[0]
+    pat = PatternGraph.from_edges(pattern_edges, n_pat, vlabels=vlabels)
+    aut = len(pat.automorphisms())
+    gl = g.vlabels if vlabels is not None else None
+    count = 0
+    for combo in itertools.permutations(range(n), n_pat):
+        if vlabels is not None and any(
+                int(gl[combo[i]]) != vlabels[i] for i in range(n_pat)):
+            continue
+        if all(a[combo[u], combo[v]] for u, v in pattern_edges):
+            count += 1
+    assert count % aut == 0
+    return count // aut
+
+
 PATTERNS = {
     # name: (edges, n_vertices, |Aut|)
     "triangle": ([(0, 1), (0, 2), (1, 2)], 3, 6),
