@@ -1,0 +1,112 @@
+"""Command-line interface — the counterpart of the reference's per-workload
+binaries (tc_omp_base, clique_gpu_base, sgl_multigpu, …) as subcommands:
+
+    python -m graphminer_tpu tc <graph_prefix>
+    python -m graphminer_tpu clique <graph_prefix> 5
+    python -m graphminer_tpu sgl <graph_prefix> diamond
+    python -m graphminer_tpu motif <graph_prefix> 4
+    python -m graphminer_tpu sc <graph_prefix> hourglass
+    python -m graphminer_tpu fsm <graph_prefix> 3 100
+    python -m graphminer_tpu gks <graph_prefix> 3 1,2,3
+    python -m graphminer_tpu info <graph_prefix>
+
+Add --cpu to force the host CPU backend; --sharded to run over all devices.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="graphminer_tpu")
+    p.add_argument("workload", choices=["tc", "clique", "sgl", "motif", "sc",
+                                        "fsm", "gks", "info"])
+    p.add_argument("graph", help="graph prefix (…/graph)")
+    p.add_argument("args", nargs="*", help="workload args")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard over all visible devices")
+    p.add_argument("--chunk", type=int, default=16384)
+    p.add_argument("--json", action="store_true", help="machine output")
+    ns = p.parse_args(argv)
+
+    import jax
+    if ns.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from . import load_graph
+
+    needs_labels = ns.workload in ("fsm", "gks")
+    t0 = time.time()
+    g = load_graph(ns.graph, use_vlabel=needs_labels)
+    t_load = time.time() - t0
+
+    t0 = time.time()
+    out = {}
+    if ns.workload == "info":
+        out = {"V": g.n_vertices, "E": g.n_edges, "max_degree": g.max_degree,
+               "has_vlabels": g.vlabels is not None}
+    elif ns.workload == "tc":
+        from .workloads.triangle import triangle_count
+        if ns.sharded:
+            from .core.plan import clique_plan
+            from .parallel.mesh import count_pattern_sharded
+            out["total"] = count_pattern_sharded(g, clique_plan(3),
+                                                 chunk=ns.chunk)
+        else:
+            out["total"] = triangle_count(g, chunk=ns.chunk)
+    elif ns.workload == "clique":
+        from .workloads.clique import clique_count
+        k = int(ns.args[0]) if ns.args else 4
+        if ns.sharded:
+            from .core.plan import clique_plan
+            from .parallel.mesh import count_pattern_sharded
+            out["total"] = count_pattern_sharded(g, clique_plan(k),
+                                                 chunk=ns.chunk)
+        else:
+            out["total"] = clique_count(g, k, chunk=ns.chunk)
+        out["k"] = k
+    elif ns.workload == "sgl":
+        from .workloads.sgl import sgl_count
+        pattern = ns.args[0] if ns.args else "diamond"
+        out["total"] = sgl_count(g, pattern, chunk=ns.chunk)
+        out["pattern"] = pattern
+    elif ns.workload == "motif":
+        from .workloads.motif import motif_count
+        k = int(ns.args[0]) if ns.args else 4
+        out["counts"] = motif_count(g, k, chunk=ns.chunk)
+        out["k"] = k
+    elif ns.workload == "sc":
+        from .workloads.count import sc_count
+        pattern = ns.args[0] if ns.args else "hourglass"
+        out["total"] = sc_count(g, pattern, chunk=ns.chunk)
+        out["pattern"] = pattern
+    elif ns.workload == "fsm":
+        from .workloads.fsm import fsm_count
+        k = int(ns.args[0]) if ns.args else 2
+        minsup = int(ns.args[1]) if len(ns.args) > 1 else 300
+        out["total"] = fsm_count(g, k, minsup)
+        out.update(k=k, minsup=minsup)
+    elif ns.workload == "gks":
+        from .workloads.keyword import gks_count
+        k = int(ns.args[0]) if ns.args else 3
+        kws = [int(x) for x in (ns.args[1] if len(ns.args) > 1
+                                else "1,2,3").split(",")]
+        out["total"] = gks_count(g, k, kws)
+        out.update(k=k, keywords=kws)
+    out["load_s"] = round(t_load, 3)
+    out["run_s"] = round(time.time() - t0, 3)
+
+    if ns.json:
+        print(json.dumps(out))
+    else:
+        for k, v in out.items():
+            print(f"{k}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

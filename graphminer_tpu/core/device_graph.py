@@ -17,6 +17,7 @@ kernel relies on.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -27,6 +28,16 @@ from ..types import SENTINEL, LANE, round_up
 
 # Default ceiling for the padded table (bytes). Above this, keep flat CSR.
 DEFAULT_TABLE_BUDGET = 6 << 30
+
+
+@functools.partial(jax.jit, static_argnames=("wpad", "epad"))
+def _build_table(rowptr, colidx, deg, *, wpad: int, epad: int):
+    v = deg.shape[0]
+    offs = jax.lax.broadcasted_iota(jnp.int32, (v, wpad), 1)
+    idx = rowptr[:-1, None] + offs
+    valid = offs < deg[:, None]
+    rows = colidx[jnp.where(valid, idx, epad - 1)]
+    return jnp.where(valid, rows, SENTINEL)
 
 
 def _pad_width(max_degree: int) -> int:
@@ -61,24 +72,23 @@ class DeviceGraph:
 
         maxdeg = g.max_degree
         wpad = _pad_width(max(1, maxdeg))
-        table = None
         if use_table is None:
             use_table = g.n_vertices * wpad * 4 <= table_budget
-        if use_table:
-            table = np.full((g.n_vertices, wpad), SENTINEL, dtype=np.int32)
-            # vectorized row fill
-            src = np.repeat(np.arange(g.n_vertices, dtype=np.int64), deg)
-            offs = np.arange(g.n_edges, dtype=np.int64) - np.repeat(
-                g.rowptr[:-1], deg)
-            table[src, offs] = g.colidx
 
         vlab = None
         if g.vlabels is not None:
             vlab = g.vlabels.astype(np.int32)
 
         put = lambda x: jax.device_put(x, device) if x is not None else None
-        return DeviceGraph(rowptr=put(rowptr), colidx=put(colidx),
-                           deg=put(deg), adj_table=put(table),
+        rowptr_d, colidx_d, deg_d = put(rowptr), put(colidx), put(deg)
+        table = None
+        if use_table:
+            # build the padded table ON DEVICE from the flat CSR (transfers
+            # E ints instead of V*Wpad — host↔device bandwidth is precious)
+            table = _build_table(rowptr_d, colidx_d, deg_d, wpad=wpad,
+                                 epad=colidx.shape[0])
+        return DeviceGraph(rowptr=rowptr_d, colidx=colidx_d,
+                           deg=deg_d, adj_table=table,
                            vlabels=put(vlab),
                            n_vertices=g.n_vertices, n_edges=g.n_edges,
                            max_degree=maxdeg)

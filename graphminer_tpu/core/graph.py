@@ -99,7 +99,15 @@ class HostGraph:
 
         The standard k-clique orientation trick; semantics match reference
         graph.cc:233-279 exactly: keep u→v iff deg(v)>deg(u) or
-        (deg(v)==deg(u) and v>u). Counts of oriented patterns are exact."""
+        (deg(v)==deg(u) and v>u). Counts of oriented patterns are exact.
+        Uses the native C++/OpenMP core when available (native/graphcore.cpp),
+        numpy otherwise."""
+        from .. import native_bridge
+        nat = native_bridge.orient(self.rowptr, self.colidx)
+        if nat is not None:
+            rowptr, colidx = nat
+            return replace(self, rowptr=rowptr, colidx=colidx, elabels=None,
+                           is_dag=True)
         deg = self.degrees()
         src = np.repeat(np.arange(self.n_vertices, dtype=VID_DTYPE),
                         np.diff(self.rowptr))
@@ -116,7 +124,14 @@ class HostGraph:
     def relabel_by_degree(self, descending: bool = True) -> "HostGraph":
         """Renumber vertices by degree. Unlabeled pattern counts are invariant
         under relabeling; this clusters similar-degree vertices so that padded
-        device tiles (bucketed by width) waste minimal work."""
+        device tiles (bucketed by width) waste minimal work. Native C++ path
+        when available."""
+        from .. import native_bridge
+        nat = native_bridge.relabel_by_degree(self.rowptr, self.colidx,
+                                              descending)
+        if nat is not None and self.vlabels is None and self.elabels is None:
+            rowptr, colidx, perm, inv = nat
+            return replace(self, rowptr=rowptr, colidx=colidx)
         deg = self.degrees()
         key = -deg if descending else deg
         perm = np.argsort(key, kind="stable").astype(VID_DTYPE)  # old ids in new order
@@ -143,6 +158,11 @@ class HostGraph:
         """Materialize COO (src, dst) from CSR — the task list for
         edge-parallel kernels (graph.cc:297-326). sym_break keeps the v>u
         (descend, default) or v<u (ascend) half."""
+        from .. import native_bridge
+        nat = native_bridge.edge_list(self.rowptr, self.colidx, sym_break,
+                                      ascend)
+        if nat is not None:
+            return nat
         deg = np.diff(self.rowptr)
         src = np.repeat(np.arange(self.n_vertices, dtype=VID_DTYPE), deg)
         dst = self.colidx.astype(VID_DTYPE)

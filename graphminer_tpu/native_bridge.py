@@ -1,0 +1,114 @@
+"""ctypes bridge to the native C++ preprocessing library (native/graphcore.cpp).
+
+Builds lazily on first use (g++ -O3 -fopenmp); every entry point has a numpy
+fallback in core/graph.py, so the package works without a toolchain. The
+native path matters for big graphs: orientation/relabel of a 100M-edge graph
+is seconds in parallel C++ vs minutes in numpy.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libgraphcore.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded library or None (numpy fallback)."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("GRAPHMINER_NO_NATIVE"):
+            return None
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.gm_orient.restype = ctypes.c_int64
+        lib.gm_orient.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p, i32p,
+                                  i64p, i32p]
+        lib.gm_relabel_by_degree.restype = None
+        lib.gm_relabel_by_degree.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, i64p, i32p, ctypes.c_int,
+            i64p, i32p, i32p, i32p]
+        lib.gm_sort_neighbors.restype = None
+        lib.gm_sort_neighbors.argtypes = [ctypes.c_int64, i64p, i32p]
+        lib.gm_edge_list.restype = ctypes.c_int64
+        lib.gm_edge_list.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
+                                     i32p, ctypes.c_int, ctypes.c_int,
+                                     i32p, i32p]
+        lib.gm_num_threads.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def orient(rowptr: np.ndarray, colidx: np.ndarray):
+    lib = get_lib()
+    if lib is None:
+        return None
+    v = rowptr.shape[0] - 1
+    e = colidx.shape[0]
+    out_rowptr = np.zeros(v + 1, dtype=np.int64)
+    out_colidx = np.zeros(e // 2 + 1, dtype=np.int32)
+    kept = lib.gm_orient(v, e, np.ascontiguousarray(rowptr, np.int64),
+                         np.ascontiguousarray(colidx, np.int32),
+                         out_rowptr, out_colidx)
+    return out_rowptr, out_colidx[:kept].copy()
+
+
+def relabel_by_degree(rowptr: np.ndarray, colidx: np.ndarray,
+                      descending: bool):
+    lib = get_lib()
+    if lib is None:
+        return None
+    v = rowptr.shape[0] - 1
+    e = colidx.shape[0]
+    out_rowptr = np.zeros(v + 1, dtype=np.int64)
+    out_colidx = np.zeros(e, dtype=np.int32)
+    perm = np.zeros(v, dtype=np.int32)
+    inv = np.zeros(v, dtype=np.int32)
+    lib.gm_relabel_by_degree(v, e, np.ascontiguousarray(rowptr, np.int64),
+                             np.ascontiguousarray(colidx, np.int32),
+                             int(descending), out_rowptr, out_colidx,
+                             perm, inv)
+    return out_rowptr, out_colidx, perm, inv
+
+
+def edge_list(rowptr: np.ndarray, colidx: np.ndarray, sym_break: bool,
+              ascend: bool):
+    lib = get_lib()
+    if lib is None:
+        return None
+    v = rowptr.shape[0] - 1
+    e = colidx.shape[0]
+    src = np.zeros(e, dtype=np.int32)
+    dst = np.zeros(e, dtype=np.int32)
+    n = lib.gm_edge_list(v, e, np.ascontiguousarray(rowptr, np.int64),
+                         np.ascontiguousarray(colidx, np.int32),
+                         int(sym_break), int(ascend), src, dst)
+    return src[:n].copy(), dst[:n].copy()

@@ -1,0 +1,107 @@
+"""Graph partitioning for graphs that exceed one device/host.
+
+Parity: include/graph_partition.h + src/common/graph_partition.cc —
+1D edge-cut partitioning, vertex-induced partitions with halo (masks = owned
+vertices + their neighbors, re-indexed local CSR, :24-160), CSR segmenting
+(cache blocking, :44-48 citing Zhang et al. 2017). TPU use: per-host
+subgraphs whose local counts psum to the exact global count; the halo makes
+replication unnecessary for edge-parallel counting — each partition owns a
+contiguous vertex range's edges plus the adjacency closure needed to complete
+its patterns.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from ..core.graph import HostGraph
+from ..types import VID_DTYPE, EID_DTYPE
+
+
+@dataclass
+class InducedPartition:
+    """Local subgraph for one worker.
+
+    local graph vertices = owned range ∪ halo (neighbors of owned), re-indexed
+    0..n_local; `global_ids[i]` maps back; `n_owned` leading vertices are the
+    owned ones. Edge tasks anchored at owned vertices are complete in the
+    local graph (1-hop closure), which is what edge-parallel counting with
+    recomputation needs for patterns whose plan only touches task-endpoint
+    adjacency.
+
+    Contract: apply degree orientation (and any relabeling) on the GLOBAL
+    graph BEFORE partitioning — local degrees would otherwise change the
+    (degree, id) DAG and break exactly-once counting across partitions."""
+    graph: HostGraph
+    global_ids: np.ndarray
+    n_owned: int
+    owned_start: int
+    owned_stop: int
+
+
+def edgecut_partition_1d(g: HostGraph, n_parts: int) -> List[np.ndarray]:
+    """Split the vertex range into n contiguous chunks balanced by edge count
+    (graph_partition.cc edgecut_partition1D). Returns [n_parts+1] boundaries."""
+    target = g.n_edges / n_parts
+    bounds = [0]
+    for p in range(1, n_parts):
+        bounds.append(int(np.searchsorted(g.rowptr, target * p)))
+    bounds.append(g.n_vertices)
+    return np.array(sorted(set(bounds)), dtype=np.int64)
+
+
+def induced_partition_1d(g: HostGraph, n_parts: int) -> List[InducedPartition]:
+    """Vertex-induced 1D partitions with halo
+    (graph_partition.cc:82-160 + generate_induced_subgraph :24-79)."""
+    bounds = edgecut_partition_1d(g, n_parts)
+    out = []
+    for p in range(len(bounds) - 1):
+        lo, hi = int(bounds[p]), int(bounds[p + 1])
+        owned = np.arange(lo, hi, dtype=np.int64)
+        halo = np.unique(g.colidx[g.rowptr[lo]:g.rowptr[hi]].astype(np.int64))
+        halo = halo[(halo < lo) | (halo >= hi)]
+        verts = np.concatenate([owned, halo])
+        remap = np.full(g.n_vertices, -1, dtype=np.int64)
+        remap[verts] = np.arange(verts.shape[0])
+        # local CSR: full rows for owned vertices, halo rows restricted to
+        # members (so local adjacency is closed within the partition)
+        member = remap >= 0
+        rows: List[np.ndarray] = []
+        rowptr = np.zeros(verts.shape[0] + 1, dtype=EID_DTYPE)
+        for i, v in enumerate(verts):
+            nb = g.colidx[g.rowptr[v]:g.rowptr[v + 1]].astype(np.int64)
+            if i >= owned.shape[0]:
+                nb = nb[member[nb]]
+            local = np.sort(remap[nb])
+            rows.append(local.astype(VID_DTYPE))
+            rowptr[i + 1] = rowptr[i] + local.shape[0]
+        colidx = (np.concatenate(rows) if rows
+                  else np.zeros(0, dtype=VID_DTYPE))
+        vl = g.vlabels[verts] if g.vlabels is not None else None
+        lg = HostGraph(rowptr=rowptr, colidx=colidx, vlabels=vl,
+                       name=f"{g.name}.part{p}")
+        out.append(InducedPartition(graph=lg, global_ids=verts,
+                                    n_owned=owned.shape[0],
+                                    owned_start=lo, owned_stop=hi))
+    return out
+
+
+def csr_segmenting(g: HostGraph, n_segments: int) -> List[HostGraph]:
+    """Column-range segmenting for locality (graph_partition.h:44-48): each
+    segment keeps all rows but only the column range it owns. Σ segments'
+    adjacency = the full graph."""
+    bounds = np.linspace(0, g.n_vertices, n_segments + 1).astype(np.int64)
+    segs = []
+    deg = np.diff(g.rowptr)
+    src = np.repeat(np.arange(g.n_vertices, dtype=np.int64), deg)
+    for s in range(n_segments):
+        lo, hi = bounds[s], bounds[s + 1]
+        m = (g.colidx >= lo) & (g.colidx < hi)
+        rowptr = np.zeros(g.n_vertices + 1, dtype=EID_DTYPE)
+        np.add.at(rowptr, src[m] + 1, 1)
+        rowptr = np.cumsum(rowptr)
+        segs.append(HostGraph(rowptr=rowptr, colidx=g.colidx[m].copy(),
+                              name=f"{g.name}.seg{s}"))
+    return segs

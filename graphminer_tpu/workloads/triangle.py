@@ -65,6 +65,44 @@ def triangle_count(g, chunk: int = 16384, backend: str = "auto",
     return total
 
 
+def triangle_count_hybrid(g, core_size: int = 16384, chunk: int = 16384,
+                          backend: str = "auto") -> int:
+    """Hybrid MXU/VPU exact triangle count (the TPU-first realisation of the
+    reference's matrix/ GEMM+intersection split, omp_mm.cpp:104-215).
+
+    Ascending-degree relabel → orientation points to higher ids → the
+    high-degree core [V-C, V) is closed under out-neighbors, so core-core
+    edges are counted entirely on the MXU (ops/dense_core.py); edges with a
+    tail endpoint go through the bucketed intersect path with small widths."""
+    from ..ops.dense_core import core_triangles
+    from ..utils.bucketing import bucket_edge_tasks, pick_chunk
+
+    assert not g.is_dag, "hybrid path needs the undirected graph (it relabels)"
+    rg = g.relabel_by_degree(descending=False).orientation()
+    v = rg.n_vertices
+    c = min(core_size, v)
+    core_start = v - c
+
+    total = core_triangles(rg, core_start)
+
+    dg = DeviceGraph.from_host(rg)
+    src, dst = rg.edge_list()
+    tail = (src < core_start) | (dst < core_start)
+    src, dst = src[tail], dst[tail]
+    if src.size:
+        deg = np.diff(rg.rowptr)
+        order, groups = bucket_edge_tasks(deg[src], deg[dst],
+                                          max(8, rg.max_degree))
+        src, dst = src[order], dst[order]
+        for s, e, wa, wb in groups:
+            ck = pick_chunk(e - s, max_chunk=chunk)
+            total += int(_tc_device(dg, jnp.asarray(src[s:e]),
+                                    jnp.asarray(dst[s:e]),
+                                    width=wa, width_b=wb, chunk=ck,
+                                    backend=backend))
+    return int(total)
+
+
 @functools.partial(jax.jit, static_argnames=("width", "chunk", "backend"))
 def _tc_per_edge_device(dg: DeviceGraph, src, dst, *, width: int, chunk: int,
                         backend: str) -> jax.Array:

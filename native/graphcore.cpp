@@ -1,0 +1,163 @@
+// Native graph-preprocessing core (C++17 + OpenMP).
+//
+// TPU-side compute lives in XLA/Pallas; this library is the host runtime's
+// native half — the counterpart of the reference's C++ graph machinery
+// (src/common/graph.cc: orientation :233-279, sort :138-146, edge list
+// :297-326; include/scan.h parallel_prefix_sum). It handles the
+// preprocessing that would otherwise bottleneck large-graph loading in
+// numpy: DAG orientation, degree relabeling, neighbor sorting, COO
+// materialisation. Exposed via a C ABI for ctypes (no pybind11 in the
+// image).
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+using i64 = int64_t;
+using i32 = int32_t;
+
+namespace {
+
+// blocked parallel prefix sum over counts[0..n) -> out[0..n]
+void prefix_sum(const i64* counts, i64 n, i64* out) {
+  out[0] = 0;
+  for (i64 i = 0; i < n; ++i) out[i + 1] = out[i] + counts[i];
+}
+
+}  // namespace
+
+extern "C" {
+
+// Keep edges (u,v) with (deg[v],v) > (deg[u],u); rebuild CSR.
+// out_colidx must have room for E/2 entries (symmetric input).
+// Returns the number of kept edges.
+i64 gm_orient(i64 V, i64 E, const i64* rowptr, const i32* colidx,
+              i64* out_rowptr, i32* out_colidx) {
+  std::vector<i64> deg(V), keep(V, 0);
+#pragma omp parallel for schedule(static)
+  for (i64 v = 0; v < V; ++v) deg[v] = rowptr[v + 1] - rowptr[v];
+
+#pragma omp parallel for schedule(dynamic, 1024)
+  for (i64 u = 0; u < V; ++u) {
+    i64 c = 0;
+    for (i64 e = rowptr[u]; e < rowptr[u + 1]; ++e) {
+      i32 v = colidx[e];
+      if (deg[v] > deg[u] || (deg[v] == deg[u] && v > u)) ++c;
+    }
+    keep[u] = c;
+  }
+  prefix_sum(keep.data(), V, out_rowptr);
+#pragma omp parallel for schedule(dynamic, 1024)
+  for (i64 u = 0; u < V; ++u) {
+    i64 o = out_rowptr[u];
+    for (i64 e = rowptr[u]; e < rowptr[u + 1]; ++e) {
+      i32 v = colidx[e];
+      if (deg[v] > deg[u] || (deg[v] == deg[u] && v > u)) out_colidx[o++] = v;
+    }
+  }
+  return out_rowptr[V];
+}
+
+// Renumber vertices by (degree, id) ascending (descending = reversed) and
+// rebuild a sorted CSR. perm[new_id] = old_id; inv[old_id] = new_id.
+void gm_relabel_by_degree(i64 V, i64 E, const i64* rowptr, const i32* colidx,
+                          int descending, i64* out_rowptr, i32* out_colidx,
+                          i32* perm, i32* inv) {
+  std::vector<std::pair<i64, i32>> key(V);
+#pragma omp parallel for schedule(static)
+  for (i64 v = 0; v < V; ++v)
+    key[v] = {rowptr[v + 1] - rowptr[v], (i32)v};
+  if (descending)
+    std::sort(key.begin(), key.end(), [](auto& a, auto& b) {
+      return a.first != b.first ? a.first > b.first : a.second < b.second;
+    });
+  else
+    std::sort(key.begin(), key.end());
+#pragma omp parallel for schedule(static)
+  for (i64 i = 0; i < V; ++i) {
+    perm[i] = key[i].second;
+    inv[key[i].second] = (i32)i;
+  }
+  std::vector<i64> counts(V);
+#pragma omp parallel for schedule(static)
+  for (i64 i = 0; i < V; ++i)
+    counts[i] = rowptr[perm[i] + 1] - rowptr[perm[i]];
+  prefix_sum(counts.data(), V, out_rowptr);
+#pragma omp parallel for schedule(dynamic, 1024)
+  for (i64 i = 0; i < V; ++i) {
+    i64 o = out_rowptr[i];
+    i32 old = perm[i];
+    for (i64 e = rowptr[old]; e < rowptr[old + 1]; ++e)
+      out_colidx[o++] = inv[colidx[e]];
+    std::sort(out_colidx + out_rowptr[i], out_colidx + out_rowptr[i + 1]);
+  }
+}
+
+// In-place ascending sort of every adjacency list.
+void gm_sort_neighbors(i64 V, const i64* rowptr, i32* colidx) {
+#pragma omp parallel for schedule(dynamic, 1024)
+  for (i64 v = 0; v < V; ++v)
+    std::sort(colidx + rowptr[v], colidx + rowptr[v + 1]);
+}
+
+// Materialize COO (src,dst) from CSR; sym_break keeps src>dst (descend) or
+// src<dst (ascend). Returns number of tasks written.
+i64 gm_edge_list(i64 V, i64 E, const i64* rowptr, const i32* colidx,
+                 int sym_break, int ascend, i32* src, i32* dst) {
+  if (!sym_break) {
+#pragma omp parallel for schedule(dynamic, 1024)
+    for (i64 u = 0; u < V; ++u)
+      for (i64 e = rowptr[u]; e < rowptr[u + 1]; ++e) {
+        src[e] = (i32)u;
+        dst[e] = colidx[e];
+      }
+    return E;
+  }
+  std::vector<i64> keep(V);
+#pragma omp parallel for schedule(dynamic, 1024)
+  for (i64 u = 0; u < V; ++u) {
+    i64 c = 0;
+    for (i64 e = rowptr[u]; e < rowptr[u + 1]; ++e) {
+      i32 v = colidx[e];
+      if (ascend ? ((i64)v > u) : ((i64)v < u)) ++c;
+    }
+    keep[u] = c;
+  }
+  std::vector<i64> offs(V + 1);
+  prefix_sum(keep.data(), V, offs.data());
+#pragma omp parallel for schedule(dynamic, 1024)
+  for (i64 u = 0; u < V; ++u) {
+    i64 o = offs[u];
+    for (i64 e = rowptr[u]; e < rowptr[u + 1]; ++e) {
+      i32 v = colidx[e];
+      if (ascend ? ((i64)v > u) : ((i64)v < u)) {
+        src[o] = (i32)u;
+        dst[o] = v;
+        ++o;
+      }
+    }
+  }
+  return offs[V];
+}
+
+// Per-vertex degree histogram utility (scheduler work estimates).
+void gm_degrees(i64 V, const i64* rowptr, i32* deg) {
+#pragma omp parallel for schedule(static)
+  for (i64 v = 0; v < V; ++v) deg[v] = (i32)(rowptr[v + 1] - rowptr[v]);
+}
+
+int gm_num_threads() {
+#ifdef _OPENMP
+  return omp_get_max_threads();
+#else
+  return 1;
+#endif
+}
+
+}  // extern "C"
