@@ -65,6 +65,14 @@ def triangle_count(g, chunk: int = 16384, backend: str = "auto",
     return total
 
 
+def triangle_count_fast(g, **kw) -> int:
+    """Hub-bitmap + closed-core MXU engine — the fast TC path on TPU
+    (ops/hubcore.py). ~5-10x the bucketed-intersect path on power-law
+    graphs; exact."""
+    from ..ops.hubcore import triangle_count_fast as _fast
+    return _fast(g, **kw)
+
+
 def triangle_count_hybrid(g, core_size: int = 16384, chunk: int = 16384,
                           backend: str = "auto") -> int:
     """Hybrid MXU/VPU exact triangle count (the TPU-first realisation of the
