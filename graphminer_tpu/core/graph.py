@@ -186,8 +186,60 @@ class HostGraph:
 
     # ---- label machinery (FSM/query; graph.cc:566-729) -------------------
     def label_frequency(self) -> np.ndarray:
+        """Per-label vertex counts (graph.cc computeLabelsFrequency :566)."""
         assert self.vlabels is not None
         return np.bincount(self.vlabels.astype(np.int64))
+
+    def build_nlf(self) -> np.ndarray:
+        """Neighborhood Label Frequency: nlf[v, l] = #neighbors of v with
+        label l (graph.cc BuildNLF :640-ish; query filter input). Dense
+        int32 [V, n_labels] — label alphabets are small (citeseer: 6)."""
+        assert self.vlabels is not None
+        n_labels = int(self.vlabels.max()) + 1
+        deg = np.diff(self.rowptr)
+        src = np.repeat(np.arange(self.n_vertices, dtype=np.int64), deg)
+        lab = self.vlabels[self.colidx].astype(np.int64)
+        nlf = np.zeros((self.n_vertices, n_labels), dtype=np.int32)
+        np.add.at(nlf, (src, lab), 1)
+        return nlf
+
+    def reverse_label_index(self) -> dict:
+        """label -> sorted array of vertices with that label
+        (graph.cc BuildReverseIndex :600-ish)."""
+        assert self.vlabels is not None
+        order = np.argsort(self.vlabels, kind="stable")
+        labs = self.vlabels[order]
+        bounds = np.nonzero(np.diff(labs))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        stops = np.concatenate([bounds, [labs.shape[0]]])
+        return {int(labs[b]): order[b:e].astype(VID_DTYPE)
+                for b, e in zip(starts, stops)}
+
+    def k_core(self) -> np.ndarray:
+        """Core number per vertex via peeling (graph.cc computeKCore :700-ish;
+        query-filter pruning input). O(E) bucket peeling, vectorized rounds:
+        each round removes every vertex whose residual degree <= current k."""
+        v = self.n_vertices
+        deg = np.diff(self.rowptr).astype(np.int64)
+        core = np.zeros(v, dtype=np.int32)
+        alive = np.ones(v, dtype=bool)
+        rdeg = deg.copy()
+        k = 0
+        while alive.any():
+            peel = alive & (rdeg <= k)
+            if not peel.any():
+                k += 1
+                continue
+            core[peel] = k
+            alive &= ~peel
+            # subtract removed vertices from their alive neighbors
+            idx = np.nonzero(peel)[0]
+            nbrs = np.concatenate([self.neighbors(u) for u in idx]) \
+                if idx.size else np.empty(0, dtype=VID_DTYPE)
+            if nbrs.size:
+                dec = np.bincount(nbrs, minlength=v)
+                rdeg -= dec
+        return core
 
     def validate(self) -> None:
         assert self.rowptr[0] == 0

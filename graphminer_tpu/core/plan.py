@@ -43,9 +43,13 @@ class Plan:
     multiplicity: int = 1                    # divide final count by this
     v0_label: Optional[int] = None           # edge-task label filters (query)
     v1_label: Optional[int] = None
+    order: Optional[Tuple[int, ...]] = None  # matching order: level i -> the
+                                             # original pattern-vertex id it
+                                             # matches (plan_from_pattern)
 
     def __post_init__(self):
         assert len(self.levels) == self.k - 2
+        assert self.order is None or len(self.order) == self.k
 
 
 # ---- pattern plan library -------------------------------------------------
@@ -174,7 +178,7 @@ def plan_from_pattern(pat, name: Optional[str] = None,
             vlabel=int(pat.vlabels[w]) if labeled else None,
         ))
 
-    aut = len(pat.automorphisms()) if not labeled else len(pat.automorphisms())
+    aut = len(pat.automorphisms())
     return Plan(
         name=name or f"pattern_{n}v{pat.n_edges}e",
         k=n,
@@ -182,4 +186,5 @@ def plan_from_pattern(pat, name: Optional[str] = None,
         multiplicity=aut,
         v0_label=int(pat.vlabels[u0]) if labeled else None,
         v1_label=int(pat.vlabels[v0]) if labeled else None,
+        order=tuple(order),
     )

@@ -38,9 +38,13 @@ from ..types import SENTINEL, cdiv
 
 def _build_candidates(dg: DeviceGraph, lp: Level, verts: List[jax.Array],
                       sets: Dict[int, jax.Array], width: int,
-                      backend: str):
+                      backend: str, cand: Optional[jax.Array] = None,
+                      idx: int = 0):
     """Candidate tile C [B, width] for the next vertex + optional upper bound.
-    Rows of dead embeddings (newest vertex == SENTINEL) come out all-SENTINEL."""
+    Rows of dead embeddings (newest vertex == SENTINEL) come out all-SENTINEL.
+    cand: optional [k, V] int8 per-query-vertex candidate bitmap (the query
+    workload's GQL/NLF filter, filter.cc parity) — candidates with
+    cand[idx][v] == 0 are masked out."""
     kind, j = lp.source
     if kind == 'adj':
         c = dg.gather_rows(verts[j], width)
@@ -55,6 +59,10 @@ def _build_candidates(dg: DeviceGraph, lp: Level, verts: List[jax.Array],
         c = setops.exclude(c, anc)
     if lp.vlabel is not None:
         c = jnp.where(dg.labels_of(c) == lp.vlabel, c, SENTINEL)
+    if cand is not None:
+        v = cand.shape[1]
+        ok = cand[idx][jnp.clip(c, 0, v - 1)] != 0
+        c = jnp.where(ok & (c != SENTINEL), c, SENTINEL)
     upper = None
     if lp.bound:
         upper = functools.reduce(jnp.minimum, [verts[j] for j in lp.bound])
@@ -87,9 +95,11 @@ def _final_count(c: jax.Array, upper, last_vert: jax.Array) -> jax.Array:
 # engine = "map": nested lax.map over candidate slots (reference engine)
 # --------------------------------------------------------------------------
 
-def _descend_map(dg, plan, idx, verts, sets, width, backend) -> jax.Array:
+def _descend_map(dg, plan, idx, verts, sets, width, backend,
+                 cand=None) -> jax.Array:
     lp = plan.levels[idx - 2]
-    c, upper = _build_candidates(dg, lp, verts, sets, width, backend)
+    c, upper = _build_candidates(dg, lp, verts, sets, width, backend,
+                                 cand, idx)
 
     if idx == plan.k - 1:
         return _final_count(c, upper, verts[-1])
@@ -106,7 +116,8 @@ def _descend_map(dg, plan, idx, verts, sets, width, backend) -> jax.Array:
         sets[idx] = c
 
     def slot_body(col):  # [B] vertex ids for this slot
-        cnt = _descend_map(dg, plan, idx + 1, verts + [col], sets, width, backend)
+        cnt = _descend_map(dg, plan, idx + 1, verts + [col], sets, width,
+                           backend, cand)
         return jnp.where(col == SENTINEL, 0, cnt)
 
     per_slot = jax.lax.map(slot_body, jnp.transpose(c))  # [W, B] int64
@@ -137,12 +148,14 @@ def _compact(c: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
     return vflat, pflat, n.astype(jnp.int32)
 
 
-def _descend_compact(dg, plan, idx, emb, sets, width, sub, backend) -> jax.Array:
+def _descend_compact(dg, plan, idx, emb, sets, width, sub, backend,
+                     cand=None) -> jax.Array:
     """emb: [B, idx] embeddings (row = (v0..v_{idx-1})); returns int64 scalar."""
     b = emb.shape[0]
     verts = [emb[:, j] for j in range(idx)]
     lp = plan.levels[idx - 2]
-    c, upper = _build_candidates(dg, lp, verts, sets, width, backend)
+    c, upper = _build_candidates(dg, lp, verts, sets, width, backend,
+                                 cand, idx)
 
     if idx == plan.k - 1:
         return jnp.sum(_final_count(c, upper, verts[-1]))
@@ -168,7 +181,7 @@ def _descend_compact(dg, plan, idx, emb, sets, width, sub, backend) -> jax.Array
         new_emb = jnp.concatenate([emb[ps], vs[:, None]], axis=1)
         new_sets = {l: s[ps] for l, s in sets.items()}
         return total + _descend_compact(dg, plan, idx + 1, new_emb, new_sets,
-                                        width, sub, backend)
+                                        width, sub, backend, cand)
 
     return jax.lax.fori_loop(0, n_iters, body, jnp.int64(0))
 
@@ -179,35 +192,47 @@ def _descend_compact(dg, plan, idx, emb, sets, width, sub, backend) -> jax.Array
 
 @functools.partial(jax.jit,
                    static_argnames=("plan", "width", "chunk", "backend"))
-def _count_device_map(dg: DeviceGraph, src, dst, *, plan: Plan, width: int,
-                      chunk: int, backend: str) -> jax.Array:
+def _count_device_map(dg: DeviceGraph, src, dst, cand=None, *, plan: Plan,
+                      width: int, chunk: int, backend: str) -> jax.Array:
     def fn(s, d):
-        return _descend_map(dg, plan, 2, [s, d], {}, width, backend)
+        return _descend_map(dg, plan, 2, [s, d], {}, width, backend, cand)
     return sum_chunked(fn, (src, dst), chunk)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("plan", "width", "chunk", "sub", "backend"))
-def _count_device_compact(dg: DeviceGraph, src, dst, *, plan: Plan, width: int,
-                          chunk: int, sub: int, backend: str) -> jax.Array:
+def _count_device_compact(dg: DeviceGraph, src, dst, cand=None, *, plan: Plan,
+                          width: int, chunk: int, sub: int,
+                          backend: str) -> jax.Array:
     srcs, dsts = pad_to_chunks((src, dst), chunk)
 
     def body(xs):
         s, d = xs
         emb = jnp.stack([s, d], axis=1)
-        return _descend_compact(dg, plan, 2, emb, {}, width, sub, backend)
+        return _descend_compact(dg, plan, 2, emb, {}, width, sub, backend,
+                                cand)
 
     return jnp.sum(jax.lax.map(body, (srcs, dsts)))
 
 
 def count_pattern(g, plan: Plan, chunk: int = 2048, sub: Optional[int] = None,
                   backend: str = "auto", width: Optional[int] = None,
-                  engine: str = "compact") -> int:
-    """End-to-end: host preprocessing per the plan, then chunked device count."""
+                  engine: str = "compact", cand=None) -> int:
+    """End-to-end: host preprocessing per the plan, then chunked device count.
+
+    cand: optional numpy bool/int8 [k, V] candidate matrix (query workload's
+    GQL/NLF/k-core filter) — restricts both the edge-task list (v0/v1) and
+    every level's candidate tiles."""
     if plan.use_dag and not g.is_dag:
         g = g.orientation()
     dg = DeviceGraph.from_host(g)
     src, dst = g.edge_list(sym_break=plan.edge_sym_break)
+    if cand is not None:
+        import numpy as np
+        cand_h = np.asarray(cand).astype(np.int8)
+        keep = (cand_h[0][src] != 0) & (cand_h[1][dst] != 0)
+        src, dst = src[keep], dst[keep]
+        cand = jnp.asarray(cand_h)
     if plan.v0_label is not None or plan.v1_label is not None:
         vl = g.vlabels.astype(src.dtype)
         keep = (vl[src] == plan.v0_label) if plan.v0_label is not None else \
@@ -220,10 +245,10 @@ def count_pattern(g, plan: Plan, chunk: int = 2048, sub: Optional[int] = None,
         return int(src.shape[0]) // plan.multiplicity
     src, dst = jnp.asarray(src), jnp.asarray(dst)
     if engine == "map":
-        total = _count_device_map(dg, src, dst, plan=plan, width=width,
+        total = _count_device_map(dg, src, dst, cand, plan=plan, width=width,
                                   chunk=chunk, backend=backend)
     else:
-        total = _count_device_compact(dg, src, dst, plan=plan, width=width,
-                                      chunk=chunk, sub=sub or chunk,
-                                      backend=backend)
+        total = _count_device_compact(dg, src, dst, cand, plan=plan,
+                                      width=width, chunk=chunk,
+                                      sub=sub or chunk, backend=backend)
     return int(total) // plan.multiplicity

@@ -18,18 +18,31 @@ Each vertex row of the device table is
 
 For an edge (u, v):
     |N+(u) ∩ N+(v)| = popcount(CB[u] & CB[v]) + |T[u] ∩ T[v]|
-and T[v] is empty whenever v is in the core (closure), so mixed edges are
-pure popcount. Core-core edges never become tasks at all — the masked MXU
-product counts them in bulk:
-    Σ_{(u,v) ∈ E_core} |N+(u) ∩ N+(v)| = Σ_uv (A Aᵀ)_uv ⊙ A_uv
-(out-row intersection = row·row dot, hence A Aᵀ masked by A).
+and T[v] is empty whenever v is in the core (closure), so every edge whose
+dst lands in the core is pure popcount — and those never become gather
+tasks at all. The SPOKE GEMM counts all of them (core-core AND tail-core)
+in bulk, gather-free: for a vertex u with core-neighbor indicator
+x_u = bits(CB[u]) ∈ {0,1}^C,
 
-Cost per task edge: two row gathers (~10-25 ns — the TPU gather wall) +
-128-word popcount (~0.5 ns) + a narrow broadcast-compare (tails are short
-because high-degree targets live in the bitmap). All bucket groups run in
-ONE dispatch; partial sums return as an int32 vector summed on the host in
-Python ints (exact for arbitrarily large totals; device int64 is unavailable
-without x64 mode).
+    Σ_{v ∈ N+(u) ∩ core} popcount(CB[u] & CB[v]) = x_uᵀ B x_u,
+
+where B = [C, C] is the bit-expanded core block (row v = bits(CB[cs+v])).
+Stacking rows X = bits(CB) over every u with ≥2 core out-neighbors:
+
+    Σ_{(u,v) ∈ E, v ∈ core} |N+(u) ∩ N+(v)| = Σ sum(X ⊙ (X @ B)).
+
+X streams through the MXU at full HBM bandwidth instead of paying the
+~10-25 ns/row random-gather wall; on power-law graphs this covers the large
+majority of edges. (This generalizes the reference's matrix/ subsystem,
+src/matrix/omp_mm.cpp:104-215, from the dense high-degree block to every
+hub-pointing edge.)
+
+Only edges whose dst is OUTSIDE the core (both endpoints low-degree) remain
+as gather tasks: popcount + a narrow tail broadcast-compare (tails are short
+because high-degree targets live in the bitmap). All bucket groups and the
+spoke GEMM run in ONE dispatch; partial sums return as int32 vectors summed
+on the host in Python ints (exact for arbitrarily large totals; device int64
+is unavailable without x64 mode).
 """
 from __future__ import annotations
 
@@ -119,64 +132,62 @@ def t_class_of(w: np.ndarray) -> np.ndarray:
     return bounds[idx].astype(np.int32)
 
 
-# group kinds
-KIND_COREDST = 0   # dst in core: popcount-only, v-row from the small core
-                   # table (VMEM-scale -> ~5x cheaper gather), sorted by src
-KIND_MIXED = 1     # either T empty: popcount-only, generic gathers
-KIND_TT = 2        # both T nonempty: popcount + tail broadcast-compare
+@dataclasses.dataclass(frozen=True)
+class TailTables:
+    """Deduplicated endpoint-row tables for the tail (sub-core) edge tasks.
+
+    Tail task lists are highly redundant (rmat18: 784k tasks over 135k
+    distinct srcs / 56k distinct dsts). At prep we gather each distinct
+    endpoint's table row ONCE into a compact device table; per-count
+    dispatches then gather from these much smaller tables — measured ~5x
+    cheaper per row than random gathers from the full [V, W] table (the
+    TPU gather wall shrinks with table size)."""
+    src_rows: jax.Array     # [Ns, words + wt_pad] rows of distinct tail srcs
+    dst_rows: jax.Array     # [Nd, words + wt_pad] rows of distinct tail dsts
 
 
 def bucket_tail_tasks(layout: HubLayout, src: np.ndarray, dst: np.ndarray):
-    """Group non-core-core edge tasks for the fused dispatch:
+    """Bucket sub-core edge tasks (both endpoints outside the core) for the
+    fused dispatch. Tasks are re-indexed against deduplicated endpoint-row
+    tables (TailTables) and bucketed by tail-width class
+    (t_class(wt_u), t_class(wt_v)); wa == 0 or wb == 0 means one side's T is
+    empty and the kernel is popcount-only. Sorted by dst index for gather
+    locality.
 
-    * KIND_COREDST — dst in the core (T[dst] empty by closure): kernel is
-      popcount-only and the v-side bitmap comes from the [C, words] core
-      slice, small enough that XLA's gather runs at VMEM-resident speed.
-      Sorted by src (CSR order -> sorted+repeated u-gather).
-    * KIND_MIXED — either endpoint's T empty for another reason:
-      popcount-only with generic gathers.
-    * KIND_TT — both T nonempty: bucketed by (t_class(wt_u), t_class(wt_v)),
-      sorted by dst for gather locality.
-
-    Returns a list of (src_tasks, dst_tasks, kind, wa, wb)."""
-    cs = layout.core_start
-    wtu = layout.t_width[src]
-    wtv = layout.t_width[dst]
-    coredst = dst >= cs
-    poponly = (np.minimum(wtu, wtv) == 0) & ~coredst
-    tt = ~coredst & ~poponly
+    Returns (TailTables, [(src_idx_tasks, dst_idx_tasks, wa, wb), ...])."""
+    us, si = np.unique(src, return_inverse=True)
+    ud, di = np.unique(dst, return_inverse=True)
+    tables = TailTables(
+        src_rows=layout.table[jnp.asarray(us.astype(np.int64))],
+        dst_rows=layout.table[jnp.asarray(ud.astype(np.int64))])
+    si = si.astype(np.int32)
+    di = di.astype(np.int32)
+    wa = t_class_of(layout.t_width[src])
+    wb = t_class_of(layout.t_width[dst])
+    # popcount-only tasks all share one bucket regardless of one-sided width
+    wa = np.where(np.minimum(wa, wb) == 0, 0, wa)
+    wb = np.where(np.minimum(wa, wb) == 0, 0, wb)
+    key = wa.astype(np.int64) * 8192 + wb
+    o = np.lexsort((di, key))
+    si, di, key = si[o], di[o], key[o]
     groups = []
-    if coredst.any():
-        s, d = src[coredst], dst[coredst]
-        o = np.argsort(s, kind="stable")
-        groups.append((s[o], d[o], KIND_COREDST, 0, 0))
-    if poponly.any():
-        s, d = src[poponly], dst[poponly]
-        o = np.argsort(d, kind="stable")
-        groups.append((s[o], d[o], KIND_MIXED, 0, 0))
-    if tt.any():
-        s, d = src[tt], dst[tt]
-        wa = t_class_of(layout.t_width[s])
-        wb = t_class_of(layout.t_width[d])
-        key = wa.astype(np.int64) * 8192 + wb
-        o = np.lexsort((d, key))
-        s, d, key = s[o], d[o], key[o]
+    if key.size:
         change = np.nonzero(np.diff(key))[0] + 1
         starts = np.concatenate([[0], change])
         stops = np.concatenate([change, [key.shape[0]]])
         for b, e in zip(starts, stops):
-            groups.append((s[b:e], d[b:e], KIND_TT,
+            groups.append((si[b:e], di[b:e],
                            int(key[b] // 8192), int(key[b] % 8192)))
-    return groups
+    return tables, groups
 
 
 def pack_groups(groups, chunk: int = DEFAULT_CHUNK):
-    """Pad each group's task arrays to a chunk multiple, reshape to
+    """Pad each group's task-index arrays to a chunk multiple, reshape to
     [n_chunks, chunk], and ship to device. Small groups drop to SMALL_CHUNK
     to bound padding waste (two chunk shapes total → few compiled variants).
-    Returns (device_arrays, static_spec); spec = ((kind, wa, wb, ck), ...)."""
+    Returns (device_arrays, static_spec); spec = ((wa, wb, ck), ...)."""
     arrs, spec = [], []
-    for src, dst, kind, wa, wb in groups:
+    for src, dst, wa, wb in groups:
         n = src.shape[0]
         ck = chunk if n > chunk // 2 else min(SMALL_CHUNK, chunk)
         n_chunks = max(1, cdiv(n, ck))
@@ -185,7 +196,7 @@ def pack_groups(groups, chunk: int = DEFAULT_CHUNK):
         d = np.pad(dst.astype(np.int32), (0, pad), constant_values=SENTINEL)
         arrs.append((jnp.asarray(s.reshape(n_chunks, ck)),
                      jnp.asarray(d.reshape(n_chunks, ck))))
-        spec.append((kind, wa, wb, ck))
+        spec.append((wa, wb, ck))
     return tuple(arrs), tuple(spec)
 
 
@@ -207,21 +218,11 @@ def _gather_rows(table, ids, width: int, words: int):
     return bm, None
 
 
-def _chunk_counts(table, words: int, kind: int, wa: int, wb: int,
-                  core_start: int, su, dv):
-    """Per-chunk int32 Σ of |N+(u) ∩ N+(v)| over the task chunk (su, dv)."""
-    bmu, tu = _gather_rows(table, su, words + wa, words)
-    if kind == KIND_COREDST:
-        # v-side bitmap from the small [C, words] core slice — C is a few
-        # thousand rows, so the gather runs at VMEM-resident speed
-        ctable = table[core_start:, :words]
-        c = ctable.shape[0]
-        ci = dv - core_start
-        ok = (ci >= 0) & (ci < c)
-        bmv = jnp.where(ok[:, None], ctable[jnp.clip(ci, 0, c - 1)], 0)
-        tv = None
-    else:
-        bmv, tv = _gather_rows(table, dv, words + wb, words)
+def _chunk_counts(src_rows, dst_rows, words: int, wa: int, wb: int, su, dv):
+    """Per-chunk int32 Σ of |N+(u) ∩ N+(v)| over the task chunk (su, dv) —
+    indices into the deduplicated TailTables."""
+    bmu, tu = _gather_rows(src_rows, su, words + wa, words)
+    bmv, tv = _gather_rows(dst_rows, dv, words + wb, words)
     hub = jnp.sum(jax.lax.population_count(bmu & bmv), dtype=jnp.int32)
     if tu is None or tv is None:
         return hub
@@ -231,78 +232,93 @@ def _chunk_counts(table, words: int, kind: int, wa: int, wb: int,
     return hub + jnp.sum(m, dtype=jnp.int32)
 
 
-def _tail_partials_body(table, group_arrays, spec, words: int,
-                        core_start: int):
+def _tail_partials_body(src_rows, dst_rows, group_arrays, spec, words: int):
     outs = []
-    for (schunks, dchunks), (kind, wa, wb, _ck) in zip(group_arrays, spec):
-        body = functools.partial(_chunk_counts, table, words, kind, wa, wb,
-                                 core_start)
+    for (schunks, dchunks), (wa, wb, _ck) in zip(group_arrays, spec):
+        body = functools.partial(_chunk_counts, src_rows, dst_rows, words,
+                                 wa, wb)
         outs.append(jax.lax.map(lambda xs: body(xs[0], xs[1]),
                                 (schunks, dchunks)))
     return jnp.concatenate(outs) if outs else jnp.zeros((1,), jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "words", "core_start"))
-def _tail_partials(table, group_arrays, *, spec, words: int,
-                   core_start: int):
+@functools.partial(jax.jit, static_argnames=("spec", "words"))
+def _tail_partials(src_rows, dst_rows, group_arrays, *, spec, words: int):
     """ONE dispatch over all bucket groups -> int32 per-chunk partial sums
     concatenated across groups. Per-chunk bound: chunk * max_count < 2^31."""
-    return _tail_partials_body(table, group_arrays, spec, words, core_start)
+    return _tail_partials_body(src_rows, dst_rows, group_arrays, spec, words)
+
+
+def _expand_bits(rows, cpad: int, dtype=jnp.bfloat16):
+    """[n, words] int32 -> [n, words*32] 0/1 of `dtype`; column w*32+b = bit b
+    of word w = core-local vertex id w*32+b (same order as the bitmap packing
+    in build_hub_layout). bfloat16 by default: 0/1 products are exact and the
+    MXU runs bf16 at full rate (XLA lowers int8 dots to the ~4x-slower fp32
+    path on v5e — measured 28.5 vs >150 TOPS effective)."""
+    shifts = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 32), 2)
+    bits = jax.lax.shift_right_logical(rows[:, :, None], shifts) & 1
+    return bits.reshape(rows.shape[0], cpad).astype(dtype)
+
+
+def _spoke_gemm_body(table, spoke, words: int, c: int, tile: int):
+    """Σ_{(u,v) ∈ E, v ∈ core} |N+(u) ∩ N+(v)| = Σ_u x_uᵀ B x_u
+    = sum(B ⊙ (XᵀX)) — the gather-free MXU path (module docstring) in Gram
+    form: ONE [cpad, N] @ [N, cpad] contraction whose output is the tiny
+    [cpad, cpad] co-occurrence matrix, masked by the core adjacency bits and
+    reduced. B is read once and there is no per-row epilogue (measured ~3x
+    the throughput of the X ⊙ (X @ B) form, which re-streams B per row tile).
+
+    spoke = [N, words] compacted bitmap rows of every vertex with ≥2 core
+    out-neighbors, N % tile == 0 (zero pad rows contribute 0). Returns int32
+    per-core-row partials [cpad] (row sum <= C·N < 2^31 for N < 2^19; larger
+    N is sliced so each Gram accumulation stays < 2^24 per entry — exact in
+    f32 — and row sums stay < 2^31).
+
+    Exactness: 0/1 operands exact in bf16; per-slice Gram entries are counts
+    <= slice rows <= 2^22 < 2^24, accumulated exactly in f32 on the MXU,
+    then promoted to int32 (verified bit-exact vs numpy)."""
+    v = table.shape[0]
+    cpad = words * 32
+    bbits = table[v - c:, :words]                       # packed core rows
+    n = spoke.shape[0]
+    # slice rows so f32 Gram entries stay exact and int32 row sums bounded
+    slab = tile
+    while slab < n and slab < (1 << 22) and slab * 2 * cpad * 2 < (1 << 30):
+        slab *= 2
+    n_slabs = cdiv(n, slab)
+    np_ = n_slabs * slab
+    spoke_p = jnp.pad(spoke, ((0, np_ - n), (0, 0))) if np_ > n else spoke
+
+    def body(i, gram):
+        rows = _expand_bits(
+            jax.lax.dynamic_slice(spoke_p, (i * slab, 0), (slab, words)),
+            cpad)
+        g = jax.lax.dot_general(rows, rows, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return gram + g.astype(jnp.int32)
+
+    gram = jax.lax.fori_loop(
+        0, n_slabs, body, jnp.zeros((cpad, cpad), jnp.int32))
+    # mask by core adjacency: B[i, j] = bit j of core row i (rows i >= c are
+    # absent -> masked to 0); row sums <= C * N < 2^31
+    mask = _expand_bits(bbits, cpad, dtype=jnp.int32)   # [c, cpad]
+    masked = gram[:c, :] * mask
+    return jnp.sum(masked, axis=1, dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("words", "c", "tile"))
-def _core_gemm_partials(table, *, words: int, c: int, tile: int):
-    """Σ (A Aᵀ) ⊙ A over the closed core via int8 MXU, from bit-expanded
-    bitmap rows. Returns per-ROW int32 partials [n_tiles * tile] (row sums
-    are < deg·C <= C² < 2^31; the host sums them exactly).
-
-    Exactness: int8 0/1 operands, dot length words*32 < 2^24, int32
-    accumulation on the MXU (verified bit-exact vs numpy)."""
-    v = table.shape[0]
-    cb = table[v - c:, :words]  # [c, words] bitmap rows of core vertices
-    cpad = words * 32
-    n_tiles = cdiv(c, tile)
-    rpad = n_tiles * tile - c
-    shifts = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 32), 2)
-
-    def expand(rows):  # [n, words] int32 -> [n, words*32] int8 0/1
-        bits = jax.lax.shift_right_logical(rows[:, :, None], shifts) & 1
-        return bits.reshape(rows.shape[0], cpad).astype(jnp.int8)
-
-    dense = expand(cb)              # [c, cpad]; bit j == core vertex j
-    if rpad:
-        dense_rows = jnp.pad(dense, ((0, rpad), (0, 0)))
-    else:
-        dense_rows = dense
-
-    def body(i, acc):
-        rows = jax.lax.dynamic_slice(dense_rows, (i * tile, 0), (tile, cpad))
-        # out-row intersection: (A Aᵀ)[u, v] = Σ_w A[u, w] A[v, w]
-        prod = jax.lax.dot_general(rows, dense, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.int32)
-        mask = rows[:, :c]          # A[u, v] — bit v of u's row
-        masked = prod * mask.astype(jnp.int32)
-        rowsums = jnp.sum(masked, axis=1, dtype=jnp.int32)   # [tile]
-        return jax.lax.dynamic_update_slice(acc, rowsums, (i * tile,))
-
-    init = jnp.zeros((n_tiles * tile,), jnp.int32)
-    return jax.lax.fori_loop(0, n_tiles, body, init)
+def _spoke_gemm_partials(table, spoke, *, words: int, c: int, tile: int):
+    return _spoke_gemm_body(table, spoke, words, c, tile)
 
 
-def _core_gemm_body(table, words: int, c: int, tile: int):
-    """Non-jit body shared by the standalone and fused entry points."""
-    return _core_gemm_partials.__wrapped__(table, words=words, c=c, tile=tile)
-
-
-@functools.partial(jax.jit, static_argnames=("spec", "words", "core_start",
-                                             "c", "tile"))
-def _fused_partials(table, group_arrays, *, spec, words: int,
-                    core_start: int, c: int, tile: int):
-    """Tail groups + core GEMM in ONE dispatch -> (tail_partials,
-    core_partials). Saves a tunnel round-trip per count."""
-    tails = _tail_partials_body(table, group_arrays, spec, words, core_start)
-    cores = _core_gemm_body(table, words, c, tile)
-    return tails, cores
+@functools.partial(jax.jit, static_argnames=("spec", "words", "c", "tile"))
+def _fused_partials(table, spoke, src_rows, dst_rows, group_arrays, *, spec,
+                    words: int, c: int, tile: int):
+    """Tail groups + spoke GEMM in ONE dispatch -> (tail_partials,
+    spoke_partials). Saves a tunnel round-trip per count."""
+    tails = _tail_partials_body(src_rows, dst_rows, group_arrays, spec, words)
+    spokes = _spoke_gemm_body(table, spoke, words, c, tile)
+    return tails, spokes
 
 
 # --------------------------------------------------------------------------
@@ -314,54 +330,72 @@ class TriangleEngine:
 
     Parity: the fused fast path for src/triangle (omp_base.cc:5-27 /
     bs_warp_edge.cuh) and src/matrix/omp_mm.cpp in one engine. The heavy
-    prep (relabel, orient, layout build, bucketing) happens once; count()
-    runs one tail dispatch + one core dispatch."""
+    prep (relabel, orient, layout build, spoke compaction, bucketing)
+    happens once; count() is one fused dispatch:
+      * spoke GEMM — every edge whose dst is in the core, gather-free MXU;
+      * gather groups — only edges with BOTH endpoints outside the core
+        (popcount + short tail compare)."""
 
     def __init__(self, g, core: int = DEFAULT_CORE,
-                 chunk: int = DEFAULT_CHUNK):
+                 chunk: int = DEFAULT_CHUNK, tile: int = 512):
         if g.is_dag:
             raise ValueError("TriangleEngine wants the undirected graph")
         rg = g.relabel_by_degree(descending=False).orientation()
         self.g = rg
         self.layout = build_hub_layout(rg, core=core)
         lay = self.layout
+        self._tile = tile
+        self.spoke = self._build_spoke(rg, lay, tile)
         src, dst = rg.edge_list()
         cs = lay.core_start
-        tail = (src < cs) | (dst < cs)
-        groups = bucket_tail_tasks(lay, src[tail], dst[tail])
+        tail = dst < cs          # dst >= cs edges all live in the spoke GEMM
+        self.tables, groups = bucket_tail_tasks(lay, src[tail], dst[tail])
         self.group_arrays, self.spec = pack_groups(groups, chunk=chunk)
         self.n_tail_tasks = int(tail.sum())
-        self._tile = 256
+
+    @staticmethod
+    def _build_spoke(rg, lay: HubLayout, tile: int) -> jax.Array:
+        """Compact the bitmap rows with >=2 core out-neighbors (others
+        contribute 0 to x_uᵀ B x_u), pad the row count to a tile multiple."""
+        deg = np.diff(rg.rowptr)
+        keep = np.nonzero(deg - lay.t_width >= 2)[0].astype(np.int32)
+        n = round_up(max(int(keep.shape[0]), 1), tile)
+        rows = lay.table[jnp.asarray(keep), :lay.words]   # one-time gather
+        return jnp.pad(rows, ((0, n - keep.shape[0]), (0, 0)))
 
     def count_tail(self) -> int:
+        """Edges with both endpoints outside the core (gather groups)."""
         lay = self.layout
         if not self.group_arrays:
             return 0
-        parts = _tail_partials(lay.table, self.group_arrays,
-                               spec=self.spec, words=lay.words,
-                               core_start=lay.core_start)
+        parts = _tail_partials(self.tables.src_rows, self.tables.dst_rows,
+                               self.group_arrays, spec=self.spec,
+                               words=lay.words)
         return int(np.asarray(parts, dtype=np.int64).sum())
 
     def count_core(self) -> int:
+        """Edges whose dst is in the core (spoke GEMM)."""
         lay = self.layout
-        if lay.core_size < 2:
+        if lay.core_size < 1:
             return 0
-        parts = _core_gemm_partials(lay.table, words=lay.words,
-                                    c=lay.core_size, tile=self._tile)
+        parts = _spoke_gemm_partials(lay.table, self.spoke, words=lay.words,
+                                     c=lay.core_size, tile=self._tile)
         return int(np.asarray(parts, dtype=np.int64).sum())
 
     def count(self) -> int:
         lay = self.layout
         if not self.group_arrays:
             return self.count_core()
-        if lay.core_size < 2:
+        if lay.core_size < 1:
             return self.count_tail()
-        tails, cores = _fused_partials(lay.table, self.group_arrays,
-                                       spec=self.spec, words=lay.words,
-                                       core_start=lay.core_start,
-                                       c=lay.core_size, tile=self._tile)
+        tails, spokes = _fused_partials(lay.table, self.spoke,
+                                        self.tables.src_rows,
+                                        self.tables.dst_rows,
+                                        self.group_arrays,
+                                        spec=self.spec, words=lay.words,
+                                        c=lay.core_size, tile=self._tile)
         return (int(np.asarray(tails, dtype=np.int64).sum())
-                + int(np.asarray(cores, dtype=np.int64).sum()))
+                + int(np.asarray(spokes, dtype=np.int64).sum()))
 
 
 def triangle_count_fast(g, core: int = DEFAULT_CORE,

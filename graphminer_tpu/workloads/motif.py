@@ -84,9 +84,153 @@ def motif4_count(g, chunk: int = 2048) -> Dict[str, int]:
             "diamond": D, "4clique": K4}
 
 
+# --------------------------------------------------------------------------
+# generic k-motif counting: non-induced enumeration + containment inversion
+# --------------------------------------------------------------------------
+# The reference's automine_5motif (src/motif/gpu_kernels/, 21 counters) runs
+# one fused DFS; here each of the 21 patterns is counted NON-induced by the
+# frontier engine (plans from plan_from_pattern) or a closed form, and the
+# induced vector is recovered by inverting the integer containment matrix
+# N[q][p] = #spanning subgraphs of p isomorphic to q (Möbius inversion over
+# the 5-vertex pattern lattice — exact, verified against brute force).
+
+import functools as _functools
+import itertools as _itertools
+
+
+@_functools.lru_cache(maxsize=None)
+def _connected_patterns(k: int):
+    """All connected k-vertex graphs up to isomorphism, by edge count."""
+    from ..core.pattern_graph import PatternGraph
+    all_edges = list(_itertools.combinations(range(k), 2))
+    seen = {}
+    for mask in range(1, 1 << len(all_edges)):
+        edges = tuple(e for i, e in enumerate(all_edges) if mask >> i & 1)
+        touched = set()
+        for u, v in edges:
+            touched.add(u); touched.add(v)
+        if len(touched) != k:
+            continue
+        p = PatternGraph.from_edges(edges, k)
+        if not _is_connected(p):
+            continue
+        key = p.canonical_key()
+        if key not in seen:
+            seen[key] = p
+    return tuple(sorted(seen.values(), key=lambda p: p.n_edges))
+
+
+def _is_connected(p) -> bool:
+    n = p.n_vertices
+    adj = p.adjacency()
+    seen = {0}
+    stack = [0]
+    while stack:
+        u = stack.pop()
+        for v in range(n):
+            if adj[u, v] and v not in seen:
+                seen.add(v); stack.append(v)
+    return len(seen) == n
+
+
+@_functools.lru_cache(maxsize=None)
+def _containment_matrix(k: int) -> np.ndarray:
+    """M[qi][pi] = #edge subsets E' of pattern p with (V, E') ≅ pattern q.
+    Upper triangular (by edge count) with unit diagonal → exact inversion."""
+    pats = _connected_patterns(k)
+    keys = {p.canonical_key(): i for i, p in enumerate(pats)}
+    n = len(pats)
+    m = np.zeros((n, n), dtype=np.int64)
+    from ..core.pattern_graph import PatternGraph
+    for pi, p in enumerate(pats):
+        edges = p.edges
+        for mask in range(1, 1 << len(edges)):
+            sub = tuple(e for i, e in enumerate(edges) if mask >> i & 1)
+            touched = set()
+            for u, v in sub:
+                touched.add(u); touched.add(v)
+            if len(touched) != k:
+                continue
+            q = PatternGraph.from_edges(sub, k)
+            qi = keys.get(q.canonical_key())
+            if qi is not None:
+                m[qi, pi] += 1
+    return m
+
+
+def _comb(x, r):
+    out = np.ones_like(x)
+    for i in range(r):
+        out = out * (x - i)
+    for i in range(2, r + 1):
+        out = out // i
+    return out
+
+
+def motif_generic_count(g, k: int, chunk: int = 2048):
+    """Induced k-motif counts for every connected k-vertex pattern.
+
+    Returns {PatternGraph: count}. Stars use the Σ C(d, k-1) closed form;
+    every other pattern is enumerated non-induced by the frontier engine."""
+    from ..core.plan import plan_from_pattern
+    pats = _connected_patterns(k)
+    star_key = _star_pattern(k).canonical_key()
+    noninduced = np.zeros(len(pats), dtype=object)
+    for i, p in enumerate(pats):
+        if p.canonical_key() == star_key:
+            d = g.degrees().astype(np.int64)
+            noninduced[i] = int(_comb(d, k - 1).sum())
+        else:
+            noninduced[i] = count_pattern(g, plan_from_pattern(p),
+                                          chunk=chunk)
+    m = _containment_matrix(k)
+    # back-substitution from the densest pattern (clique) downward; matrix is
+    # upper triangular with 1s on the diagonal in edge-count order
+    n = len(pats)
+    induced = [0] * n
+    for i in range(n - 1, -1, -1):
+        acc = int(noninduced[i])
+        for j in range(i + 1, n):
+            acc -= int(m[i, j]) * induced[j]
+        induced[i] = acc
+    return {p: induced[i] for i, p in enumerate(pats)}
+
+
+def _star_pattern(k: int):
+    from ..core.pattern_graph import PatternGraph
+    return PatternGraph.from_edges([(0, i) for i in range(1, k)], k)
+
+
+# preferred display names for 5-vertex NAMED_PATTERNS entries that share a
+# canonical form with an alias (e.g. pentagon == 5cycle)
+_MOTIF5_PREFERRED = ("5path", "4star", "pentagon", "house", "hourglass",
+                     "semihouse", "tailed_diamond", "5clique")
+
+
+def motif5_count(g, chunk: int = 2048) -> Dict[str, int]:
+    """All 21 induced 5-vertex motif counts, keyed by a readable name."""
+    from ..core.pattern_graph import NAMED_PATTERNS
+    named = {p.canonical_key(): nm for nm, p in NAMED_PATTERNS.items()
+             if p.n_vertices == 5}
+    for nm in _MOTIF5_PREFERRED:            # aliases resolve to these names
+        named[NAMED_PATTERNS[nm].canonical_key()] = nm
+    counts = motif_generic_count(g, 5, chunk=chunk)
+    out = {}
+    anon = 0
+    for p, c in counts.items():
+        nm = named.get(p.canonical_key())
+        if nm is None:
+            nm = f"5motif_{p.n_edges}e_{anon}"
+            anon += 1
+        out[nm] = c
+    return out
+
+
 def motif_count(g, k: int, chunk: int = 2048) -> Dict[str, int]:
     if k == 3:
         return motif3_count(g, chunk=chunk)
     if k == 4:
         return motif4_count(g, chunk=chunk)
-    raise NotImplementedError(f"k={k} motifs not yet supported (have 3, 4)")
+    if k == 5:
+        return motif5_count(g, chunk=chunk)
+    raise NotImplementedError(f"k={k} motifs not yet supported (have 3, 4, 5)")
