@@ -26,12 +26,19 @@ def main(argv=None):
                                         "fsm", "gks", "info"])
     p.add_argument("graph", help="graph prefix (…/graph)")
     p.add_argument("args", nargs="*", help="workload args")
+    from .config import Config
+    cfg = Config.from_env()          # GRAPHMINER_* env vars seed the defaults
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--sharded", action="store_true",
                    help="shard over all visible devices")
-    p.add_argument("--chunk", type=int, default=16384)
+    p.add_argument("--chunk", type=int, default=cfg.chunk)
+    p.add_argument("--backend", default=cfg.backend,
+                   help="setops backend: auto | bc | bs | pallas")
+    p.add_argument("--engine", default=cfg.engine,
+                   help="frontier engine: compact | map")
     p.add_argument("--json", action="store_true", help="machine output")
     ns = p.parse_args(argv)
+    cfg.chunk, cfg.backend, cfg.engine = ns.chunk, ns.backend, ns.engine
 
     import jax
     if ns.cpu:
@@ -57,7 +64,9 @@ def main(argv=None):
             out["total"] = count_pattern_sharded(g, clique_plan(3),
                                                  chunk=ns.chunk)
         else:
-            out["total"] = triangle_count(g, chunk=ns.chunk)
+            out["total"] = triangle_count(g, chunk=ns.chunk,
+                                          backend=ns.backend,
+                                          bucketed=cfg.bucketed)
     elif ns.workload == "clique":
         from .workloads.clique import clique_count
         k = int(ns.args[0]) if ns.args else 4
@@ -67,12 +76,14 @@ def main(argv=None):
             out["total"] = count_pattern_sharded(g, clique_plan(k),
                                                  chunk=ns.chunk)
         else:
-            out["total"] = clique_count(g, k, chunk=ns.chunk)
+            out["total"] = clique_count(g, k, chunk=ns.chunk,
+                                        backend=ns.backend)
         out["k"] = k
     elif ns.workload == "sgl":
         from .workloads.sgl import sgl_count
         pattern = ns.args[0] if ns.args else "diamond"
-        out["total"] = sgl_count(g, pattern, chunk=ns.chunk)
+        out["total"] = sgl_count(g, pattern, chunk=ns.chunk,
+                                 backend=ns.backend)
         out["pattern"] = pattern
     elif ns.workload == "motif":
         from .workloads.motif import motif_count

@@ -183,7 +183,10 @@ def _descend_compact(dg, plan, idx, emb, sets, width, sub, backend,
         return total + _descend_compact(dg, plan, idx + 1, new_emb, new_sets,
                                         width, sub, backend, cand)
 
-    return jax.lax.fori_loop(0, n_iters, body, jnp.int64(0))
+    # init carry derives from emb so its sharding metadata (vma) matches the
+    # shard-varying body output under shard_map; XLA folds the 0* away
+    init = (0 * emb[0, 0]).astype(jnp.int64)
+    return jax.lax.fori_loop(0, n_iters, body, init)
 
 
 # --------------------------------------------------------------------------
@@ -223,10 +226,13 @@ def count_pattern(g, plan: Plan, chunk: int = 2048, sub: Optional[int] = None,
     cand: optional numpy bool/int8 [k, V] candidate matrix (query workload's
     GQL/NLF/k-core filter) — restricts both the edge-task list (v0/v1) and
     every level's candidate tiles."""
+    from ..utils.profiling import PROFILER
     if plan.use_dag and not g.is_dag:
-        g = g.orientation()
-    dg = DeviceGraph.from_host(g)
-    src, dst = g.edge_list(sym_break=plan.edge_sym_break)
+        with PROFILER.phase("orient"):
+            g = g.orientation()
+    with PROFILER.phase("prep"):
+        dg = DeviceGraph.from_host(g)
+        src, dst = g.edge_list(sym_break=plan.edge_sym_break)
     if cand is not None:
         import numpy as np
         cand_h = np.asarray(cand).astype(np.int8)
@@ -243,12 +249,20 @@ def count_pattern(g, plan: Plan, chunk: int = 2048, sub: Optional[int] = None,
     width = width or max(8, g.max_degree)
     if plan.k == 2:  # single-edge pattern: the task list itself is the answer
         return int(src.shape[0]) // plan.multiplicity
+    # per-op accounting (reference common.h:72-74 time_ops / intersect.cc
+    # call counters): every edge task runs the plan's level-2 set ops once;
+    # deeper levels are data-dependent and tracked as "edge_tasks" here.
+    n_ops_l2 = 1 + len(plan.levels[0].intersect) + len(plan.levels[0].difference)
+    PROFILER.count("edge_tasks", int(src.shape[0]))
+    PROFILER.count("set_ops_level2", int(src.shape[0]) * n_ops_l2)
     src, dst = jnp.asarray(src), jnp.asarray(dst)
-    if engine == "map":
-        total = _count_device_map(dg, src, dst, cand, plan=plan, width=width,
-                                  chunk=chunk, backend=backend)
-    else:
-        total = _count_device_compact(dg, src, dst, cand, plan=plan,
+    with PROFILER.phase("device_count"):
+        if engine == "map":
+            total = _count_device_map(dg, src, dst, cand, plan=plan,
                                       width=width, chunk=chunk,
-                                      sub=sub or chunk, backend=backend)
+                                      backend=backend)
+        else:
+            total = _count_device_compact(dg, src, dst, cand, plan=plan,
+                                          width=width, chunk=chunk,
+                                          sub=sub or chunk, backend=backend)
     return int(total) // plan.multiplicity

@@ -44,24 +44,44 @@ def make_mesh(devices: Optional[Sequence] = None,
     return Mesh(arr, axis_names=axis_names)
 
 
-def _shard_pad_tasks(src, dst, n_shards: int, chunk: int):
-    """Pad the task list so it splits evenly into n_shards × k × chunk."""
+def _shard_tasks(src, dst, deg, n_shards: int, chunk: int,
+                 policy: str = "least_first"):
+    """Assign task chunks to shards and pad each shard to a uniform
+    chunk-multiple length.
+
+    policy="least_first" uses Scheduler-style greedy bin-packing by the
+    min(deg(src), deg(dst)) workload estimate (scheduler.cc:133-214);
+    "round_robin" is the chunk-cyclic fallback (scheduler.cc:34-85).
+    Returns flat [n_shards * per] arrays — shard w owns rows
+    [w*per, (w+1)*per), matching a contiguous P(axes) sharding."""
+    from .scheduler import least_first, round_robin
+    src = np.asarray(src)
+    dst = np.asarray(dst)
     n = src.shape[0]
-    per = cdiv(n, n_shards)
-    per = cdiv(per, chunk) * chunk
-    total = per * n_shards
-    pad = total - n
-    src = np.pad(np.asarray(src), (0, pad), constant_values=SENTINEL)
-    dst = np.pad(np.asarray(dst), (0, pad), constant_values=SENTINEL)
-    return jnp.asarray(src), jnp.asarray(dst)
+    if policy == "least_first" and deg is not None and n:
+        assign = least_first(n_shards, deg[src], deg[dst], chunk=chunk)
+    else:
+        assign = round_robin(n_shards, n, chunk=chunk)
+    per = max(chunk, cdiv(max((a.shape[0] for a in assign), default=1),
+                          chunk) * chunk)
+    s_out = np.full((n_shards, per), SENTINEL, np.int32)
+    d_out = np.full((n_shards, per), SENTINEL, np.int32)
+    for w, idx in enumerate(assign):
+        s_out[w, : idx.shape[0]] = src[idx]
+        d_out[w, : idx.shape[0]] = dst[idx]
+    return jnp.asarray(s_out.reshape(-1)), jnp.asarray(d_out.reshape(-1))
 
 
 def count_pattern_sharded(g, plan: Plan, mesh: Optional[Mesh] = None,
                           chunk: int = 2048, sub: Optional[int] = None,
-                          backend: str = "auto",
-                          width: Optional[int] = None) -> int:
+                          backend: str = "auto", width: Optional[int] = None,
+                          policy: str = "least_first") -> int:
     """Multi-device exact pattern count: replicated graph, sharded edge tasks,
-    psum reduction. Works on any mesh (virtual CPU devices or a pod slice)."""
+    psum reduction. Works on any mesh (virtual CPU devices or a pod slice).
+
+    Task→shard assignment goes through parallel/scheduler.py (least_first
+    bin-packing by default) so per-shard work is balanced even when the task
+    list is not degree-sorted."""
     if plan.use_dag and not g.is_dag:
         g = g.orientation()
     if mesh is None:
@@ -71,17 +91,15 @@ def count_pattern_sharded(g, plan: Plan, mesh: Optional[Mesh] = None,
     width = width or max(8, g.max_degree)
     sub_ = sub or chunk
     n_shards = mesh.devices.size
-    src, dst = _shard_pad_tasks(src, dst, n_shards, chunk)
+    deg = np.diff(g.rowptr)
+    src, dst = _shard_tasks(src, dst, deg, n_shards, chunk, policy=policy)
     axes = tuple(mesh.axis_names)
 
     @jax.jit
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(axes), P(axes)),
-        out_specs=P(),
-        # the while-loop count carry is initialized replicated but updated
-        # with shard-varying values; skip the vma consistency check
-        check_vma=False)
+        out_specs=P())
     def run(dg_repl, s, d):
         srcs, dsts = pad_to_chunks((s, d), chunk)
 

@@ -38,6 +38,6 @@ def test_motif4_vs_oracle(rand_graphs):
                        "diamond": want["diamond"], "4clique": want["4clique"]}
 
 
-def test_motif5_not_implemented(citeseer):
+def test_motif6_not_implemented(citeseer):
     with pytest.raises(NotImplementedError):
-        motif_count(citeseer, 5)
+        motif_count(citeseer, 6)
