@@ -28,6 +28,7 @@ class Level:
     intersect: Tuple[int, ...] = ()
     difference: Tuple[int, ...] = ()
     bound: Tuple[int, ...] = ()              # v < min(v_j)
+    lbound: Tuple[int, ...] = ()             # v > max(v_j) (symmetry order)
     exclude: Tuple[int, ...] = ()            # v != v_j
     store: bool = False                      # keep C_i for reuse at deeper levels
     vlabel: Optional[int] = None             # required vertex label (query)
@@ -130,6 +131,27 @@ SGL_PLANS = {
 
 # ---- generic plan generation (codegen/vertex_gen.py parity) ---------------
 
+def symmetry_conditions(pat, order):
+    """Pairwise conditions (a, b) meaning emb[a] < emb[b] (pattern-vertex
+    ids) that select exactly ONE representative per Aut(pat)-class of
+    embeddings — the per-level symmetry-order restrictions of the reference
+    codegen (vertex_gen.py:83-100), derived here by the orbit–stabilizer
+    chain: walk vertices in matching order, constrain each to be the minimum
+    of its orbit under the remaining group, then restrict to its stabilizer.
+    Every Aut-class has exactly one member satisfying all conditions (the
+    lexicographically-least one along `order`), so generated plans run with
+    multiplicity 1 instead of |Aut|× overcounting."""
+    group = list(pat.automorphisms())
+    conds = []
+    for w in order:
+        if len(group) <= 1:
+            break
+        orbit = sorted({p[w] for p in group})
+        conds.extend((w, u) for u in orbit if u != w)
+        group = [p for p in group if p[w] == w]
+    return conds
+
+
 def plan_from_pattern(pat, name: Optional[str] = None,
                       labeled: bool = False) -> Plan:
     """Compile an arbitrary connected PatternGraph into an executable Plan.
@@ -137,10 +159,11 @@ def plan_from_pattern(pat, name: Optional[str] = None,
     This replaces the reference's offline codegen (vertex_gen.py → generated
     C++ loop nests): matching order is chosen greedily (max connectivity to
     the prefix, degree tie-break, like pattern_sym_ord's order search), and
-    symmetry is handled by counting all ordered embeddings and dividing by
-    |Aut(pattern)| — exact because Aut acts freely on injective embeddings.
-    Hand-tuned plans (SGL_PLANS / clique_plan) stay preferable for the hot
-    named patterns; this generator covers the long tail and labeled queries.
+    symmetry is broken per level via orbit–stabilizer conditions compiled to
+    bound/lbound constraints (vertex_gen.py:83-100 parity) — each embedding
+    class is enumerated exactly once (multiplicity 1). Hand-tuned plans
+    (SGL_PLANS / clique_plan) stay preferable for the hot named patterns;
+    this generator covers the long tail and labeled queries.
 
     labeled=True keeps per-vertex label constraints from pat.vlabels (query
     workload); automorphisms are label-preserving either way.
@@ -163,7 +186,27 @@ def plan_from_pattern(pat, name: Optional[str] = None,
         w = max(rest, key=lambda w: (sum(a[w, x] for x in order), deg[w], -w))
         assert sum(a[w, x] for x in order) > 0, "pattern must be connected"
         order.append(w)
+
+    conds = symmetry_conditions(pat, order)
+    # a condition between the first two order slots becomes the edge-task
+    # symmetry break (v1 < v0); flip the root edge so the direction fits
+    first_two = {order[0], order[1]}
+    edge_sym = any({c0, c1} == first_two for c0, c1 in conds)
+    if (order[0], order[1]) in conds:          # emb[order[0]] < emb[order[1]]
+        order[0], order[1] = order[1], order[0]
     pos = {w: i for i, w in enumerate(order)}
+
+    # per-level symmetry constraints from the remaining conditions
+    bound = {i: [] for i in range(2, n)}       # v_i < min(...)
+    lbound = {i: [] for i in range(2, n)}      # v_i > max(...)
+    for c0, c1 in conds:                       # emb[c0] < emb[c1]
+        i = max(pos[c0], pos[c1])
+        if i <= 1:
+            continue                           # handled by edge_sym
+        if pos[c0] == i:
+            bound[i].append(pos[c1])
+        else:
+            lbound[i].append(pos[c0])
 
     levels = []
     for i in range(2, n):
@@ -174,17 +217,19 @@ def plan_from_pattern(pat, name: Optional[str] = None,
         levels.append(Level(
             source=('adj', nbrs[0]),
             intersect=nbrs[1:],
+            bound=tuple(sorted(bound[i])),
+            lbound=tuple(sorted(lbound[i])),
             exclude=non_nbrs,            # injectivity wrt non-adjacent prefix
             vlabel=int(pat.vlabels[w]) if labeled else None,
         ))
 
-    aut = len(pat.automorphisms())
     return Plan(
         name=name or f"pattern_{n}v{pat.n_edges}e",
         k=n,
         levels=tuple(levels),
-        multiplicity=aut,
-        v0_label=int(pat.vlabels[u0]) if labeled else None,
-        v1_label=int(pat.vlabels[v0]) if labeled else None,
+        edge_sym_break=edge_sym,
+        multiplicity=1,
+        v0_label=int(pat.vlabels[order[0]]) if labeled else None,
+        v1_label=int(pat.vlabels[order[1]]) if labeled else None,
         order=tuple(order),
     )

@@ -63,6 +63,9 @@ def _build_candidates(dg: DeviceGraph, lp: Level, verts: List[jax.Array],
         v = cand.shape[1]
         ok = cand[idx][jnp.clip(c, 0, v - 1)] != 0
         c = jnp.where(ok & (c != SENTINEL), c, SENTINEL)
+    if lp.lbound:  # symmetry order v > max(v_j) (vertex_gen.py:83-100)
+        lower = functools.reduce(jnp.maximum, [verts[j] for j in lp.lbound])
+        c = jnp.where(c > lower[:, None], c, SENTINEL)
     upper = None
     if lp.bound:
         upper = functools.reduce(jnp.minimum, [verts[j] for j in lp.bound])
