@@ -1,0 +1,291 @@
+"""Bucketed reverse-CSR stream engine: gather-free edge-parallel counting.
+
+Round-2 redesign of the hot path. Round 1 (ops/hubcore.py) split edges into a
+spoke GEMM (MXU, ~0.6% useful bits) and per-task gather groups (XLA gather
+wall, ~65ns/task). Measured on the chip, both lose to a pure-stream design:
+
+  * Tasks (u, v) are grouped BY DST — the task list is exactly the reverse
+    CSR of the oriented DAG. Dst rows are read once per dst, in order.
+  * Dsts are bucketed by (in-degree class, dst-tail-width class); each bucket
+    stores a PREP-TIME MATERIALIZED src-row tensor [n_dst, width, row_w]
+    (the task-aligned stream). At count time every input is a sequential HBM
+    read: measured ~500-900 GB/s vs ~65 ns per random row
+    (scripts/prof_window.py, scripts/prof_stream.py).
+  * Per task: |N+(u) ∩ N+(v)| = popcount(CB[u] & CB[v]) + |T[u] ∩ T[v]|
+    over the HubLayout row encoding (hub-core bitmap + short sorted tail,
+    see ops/hubcore.py docstring). Core closure means dst-in-core buckets
+    skip the T part entirely (T[v] = ∅), so ~80% of edges are pure
+    AND+popcount on the VPU; the remaining tail tasks pay wta*wtv broadcast
+    compares, kept tight by the per-bucket width classes.
+
+This replaces both reference device strategies at once — the warp
+binary-search intersection (include/set_intersect.cuh:6-105) and the matrix
+subsystem (src/matrix/omp_mm.cpp:104-215) — with fixed-shape streaming that
+XLA pipelines at HBM bandwidth. Memory cost: the materialized stream is
+~1.3-2x the CSR (padding), traded for a >10x count-time speedup.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import SENTINEL, cdiv, round_up
+from .hubcore import HubLayout, build_hub_layout
+
+# Dst in-degree classes. Dsts with more in-neighbors than the top class are
+# split across multiple padded rows (same dst row replicated).
+WIDTH_CLASSES = (2, 8, 32, 128, 512, 2048)
+# Dst tail-width classes (sub-core dsts only): the T-compare costs
+# wta * wtv_class VPU ops per task, so tight dst classes matter.
+WTV_CLASSES = (0, 16, 48)
+# Target tasks per lax.map step (chunk_d = TASK_BLOCK / width).
+TASK_BLOCK = 16384
+
+
+@dataclasses.dataclass(frozen=True)
+class Bucket:
+    """One (in-degree class, dst-T class) group of dsts with padded
+    src-index lists. wtv == 0 covers both core dsts (closure: T[v] = ∅) and
+    sub-core dsts with empty tails — either way the T-compare is skipped."""
+    width: int              # src slots per dst row (in-degree class)
+    wtv: int                # dst T slots kept (0 -> popcount only)
+    wta: int                # src T slots kept (0 when wtv == 0)
+    n_dst: int              # padded dst-row count
+    dst_rows: jax.Array     # [n_dst, words + wtv]
+    src_rows: jax.Array     # [n_dst, width, words + wta]
+    n_tasks: int            # true (unpadded) task count
+
+    @property
+    def spec(self):
+        return (self.width, self.wtv, self.wta)
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamLayout:
+    """Prepared device-resident stream for one oriented graph."""
+    layout: HubLayout
+    buckets: Tuple[Bucket, ...]
+    n_tasks: int
+
+    def nbytes(self) -> int:
+        return sum((b.dst_rows.size + b.src_rows.size) * 4
+                   for b in self.buckets)
+
+
+def _split_wide(dst: np.ndarray, indeg: np.ndarray, top: int):
+    """Split dsts with in-degree > top into ceil(indeg/top) rows of <= top.
+    Returns (row_dst, row_off, row_len) per padded row."""
+    reps = np.maximum(1, -(-indeg // top))
+    owner = np.repeat(np.arange(dst.shape[0]), reps)
+    row_dst = dst[owner]
+    starts = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    local = np.arange(row_dst.shape[0]) - starts[owner]
+    row_off = local * top
+    row_len = np.minimum(indeg[owner] - row_off, top)
+    return row_dst, row_off, row_len
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "words", "wtv", "wta"))
+def _materialize(table, dsts, src_idx, *, width: int, words: int, wtv: int,
+                 wta: int):
+    """Gather dst rows + task-aligned src rows on device (prep-time only).
+
+    SENTINEL src slots materialize as bitmap=0 / T=SENTINEL so they
+    contribute exactly 0 at count time."""
+    v = table.shape[0]
+    rows_d = table[dsts][:, :words + wtv]
+    safe = jnp.clip(src_idx, 0, v - 1)
+    ok = (src_idx >= 0) & (src_idx < v)
+    rows_s = table[safe.reshape(-1)][:, :words + wta].reshape(
+        src_idx.shape[0], width, words + wta)
+    bm = jnp.where(ok[:, :, None], rows_s[:, :, :words], 0)
+    if wta == 0:
+        return rows_d, bm
+    t = jnp.where(ok[:, :, None], rows_s[:, :, words:], SENTINEL)
+    return rows_d, jnp.concatenate([bm, t], axis=2)
+
+
+def build_stream(g, core: int = 4096, classes=WIDTH_CLASSES,
+                 wtv_classes=WTV_CLASSES) -> StreamLayout:
+    """g: undirected host graph (or an already-oriented DAG). Relabels
+    ascending by degree, orients, builds the HubLayout and the bucketed
+    reverse-CSR stream."""
+    if g.is_dag:
+        rg = g
+    else:
+        rg = g.relabel_by_degree(descending=False).orientation()
+    lay = build_hub_layout(rg, core=core)
+    v = rg.n_vertices
+
+    deg = np.diff(rg.rowptr).astype(np.int64)
+    src = np.repeat(np.arange(v, dtype=np.int64), deg).astype(np.int32)
+    dst = rg.colidx.astype(np.int32)
+
+    # reverse CSR: tasks sorted by dst, then src
+    order = np.lexsort((src, dst))
+    src_o, dst_o = src[order], dst[order]
+    udst, istart = np.unique(dst_o, return_index=True)
+    indeg = np.diff(np.concatenate([istart, [dst_o.shape[0]]])).astype(
+        np.int64)
+
+    top = classes[-1]
+    rd, roff, rlen = _split_wide(udst, indeg, top)
+    rstart = np.repeat(istart, np.maximum(1, -(-indeg // top))) + roff
+    wclass = np.asarray(classes)[np.searchsorted(classes, rlen, side="left")]
+    # dst T class: core dsts and empty-tail dsts land in wtv == 0; dst tails
+    # wider than the top class fall through to the layout's full wt_pad
+    twd = lay.t_width[rd]
+    wtv_top = wtv_classes[-1]
+    idx = np.clip(np.searchsorted(wtv_classes, twd, side="left"), 0,
+                  len(wtv_classes) - 1)
+    wtv_of = np.where(twd > wtv_top, lay.wt_pad,
+                      np.asarray(wtv_classes)[idx])
+
+    buckets = []
+    for wc in classes:
+        for wtvc in sorted(set(wtv_of.tolist())):
+            m = (wclass == wc) & (wtv_of == wtvc)
+            if not m.any():
+                continue
+            n_d = int(m.sum())
+            si = np.full((n_d, wc), SENTINEL, dtype=np.int32)
+            starts_b, lens_b = rstart[m], rlen[m]
+            flat_pos = (starts_b[:, None]
+                        + np.arange(wc, dtype=np.int64)[None, :])
+            valid = np.arange(wc)[None, :] < lens_b[:, None]
+            si[valid] = src_o[flat_pos[valid]]
+            # src T slots: trimmed to this bucket's max actual src tail;
+            # irrelevant when the dst side has no tail (intersection empty)
+            wta = 0
+            if wtvc:
+                wta = int(round_up(max(1, lay.t_width[si[valid]].max(
+                    initial=0)), 8))
+            # pad n_dst to a sublane multiple for clean tiling
+            n_pad = round_up(n_d, 8)
+            dsts_b = np.pad(rd[m], (0, n_pad - n_d),
+                            constant_values=0).astype(np.int32)
+            si = np.pad(si, ((0, n_pad - n_d), (0, 0)),
+                        constant_values=SENTINEL)
+            dst_rows, src_rows = _materialize(
+                lay.table, jnp.asarray(dsts_b), jnp.asarray(si),
+                width=wc, words=lay.words, wtv=int(wtvc), wta=wta)
+            # padded dst rows may alias vertex 0; zero their bitmap+T so they
+            # cannot pair with padded src slots
+            if n_pad > n_d:
+                dst_rows = dst_rows.at[n_d:].set(
+                    jnp.where(jnp.arange(dst_rows.shape[1]) < lay.words,
+                              0, SENTINEL))
+            buckets.append(Bucket(width=wc, wtv=int(wtvc), wta=wta,
+                                  n_dst=n_pad, dst_rows=dst_rows,
+                                  src_rows=src_rows,
+                                  n_tasks=int(lens_b.sum())))
+    return StreamLayout(layout=lay, buckets=tuple(buckets),
+                        n_tasks=int(dst.shape[0]))
+
+
+# --------------------------------------------------------------------------
+# count kernels
+# --------------------------------------------------------------------------
+
+def _bucket_counts_body(dst_rows, src_rows, *, words: int, wtv: int,
+                        chunk_d: int):
+    """Per-chunk int32 partial sums of |N+(u) ∩ N+(v)| over one bucket."""
+    n_pad = dst_rows.shape[0]
+    n_chunks = cdiv(n_pad, chunk_d)
+    pad = n_chunks * chunk_d - n_pad
+    if pad:
+        dz = jnp.where(jnp.arange(dst_rows.shape[1]) < words, 0, SENTINEL)
+        dst_rows = jnp.concatenate(
+            [dst_rows, jnp.broadcast_to(dz, (pad, dst_rows.shape[1]))])
+        sz = jnp.where(jnp.arange(src_rows.shape[2]) < words, 0, SENTINEL)
+        src_rows = jnp.concatenate(
+            [src_rows,
+             jnp.broadcast_to(sz, (pad,) + src_rows.shape[1:])])
+    dshape = dst_rows.reshape(n_chunks, chunk_d, -1)
+    sshape = src_rows.reshape(n_chunks, chunk_d, src_rows.shape[1], -1)
+
+    def body(xs):
+        d, s = xs
+        hub = jnp.sum(jax.lax.population_count(
+            d[:, None, :words] & s[:, :, :words]), dtype=jnp.int32)
+        if wtv == 0:
+            return hub
+        ta = s[:, :, words:]                       # [cd, width, wta]
+        tb = d[:, words:]                          # [cd, wtv]
+        m = (ta[:, :, :, None] == tb[:, None, None, :]) & \
+            (ta != SENTINEL)[:, :, :, None]
+        return hub + jnp.sum(m, dtype=jnp.int32)
+
+    return jax.lax.map(body, (dshape, sshape))
+
+
+def _chunk_d_for(width: int) -> int:
+    return max(8, min(4096, TASK_BLOCK // width))
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "words"))
+def _stream_partials(bucket_arrays, salt, *, spec, words: int):
+    """ONE dispatch over all buckets -> concatenated int32 partial sums.
+    spec: ((width, wtv, wta), ...) aligned with bucket_arrays.
+
+    salt: int32 scalar that only permutes the output order (sum unchanged).
+    Distinct salts make benchmark dispatches distinct inputs — the axon
+    runtime memoizes executions by input content, so back-to-back timing
+    iterations must differ somewhere."""
+    outs = []
+    for (dst_rows, src_rows), (width, wtv, _wta) in zip(bucket_arrays, spec):
+        outs.append(_bucket_counts_body(dst_rows, src_rows, words=words,
+                                        wtv=wtv,
+                                        chunk_d=_chunk_d_for(width)))
+    parts = jnp.concatenate(outs) if outs else jnp.zeros((1,), jnp.int32)
+    return jnp.roll(parts, salt)
+
+
+class StreamEngine:
+    """Prepared single-dispatch triangle counter over the stream layout.
+
+    Parity: the fused fast path for src/triangle (omp_base.cc:5-27,
+    bs_warp_edge.cuh) — every DAG edge (u,v) contributes
+    |N+(u) ∩ N+(v)|; the sum is the exact triangle count."""
+
+    def __init__(self, g, core: int = 4096, classes=WIDTH_CLASSES,
+                 wtv_classes=WTV_CLASSES):
+        self.stream = build_stream(g, core=core, classes=classes,
+                                   wtv_classes=wtv_classes)
+        self.arrays = tuple((b.dst_rows, b.src_rows)
+                            for b in self.stream.buckets)
+        self.spec = tuple(b.spec for b in self.stream.buckets)
+        self.words = self.stream.layout.words
+        self.n_edges = self.stream.n_tasks
+
+    def partials(self, salt: int = 0):
+        return _stream_partials(self.arrays, jnp.int32(salt), spec=self.spec,
+                                words=self.words)
+
+    def count(self) -> int:
+        parts = self.partials()
+        return int(np.asarray(parts, dtype=np.int64).sum())
+
+    def timed_count(self, iters: int = 8):
+        """(count, seconds/iter) — launches `iters` salted dispatches
+        back-to-back and pulls results once, amortizing the host-pull
+        latency of the tunneled chip across iterations."""
+        import time
+        _ = self.count()                      # warm compile + memo prime
+        t0 = time.time()
+        outs = [self.partials(salt=i + 1) for i in range(iters)]
+        totals = [int(np.asarray(o, dtype=np.int64).sum()) for o in outs]
+        dt = (time.time() - t0) / iters
+        assert all(t == totals[0] for t in totals)
+        return totals[0], dt
+
+
+def triangle_count_stream(g, core: int = 4096, **kw) -> int:
+    """Exact TC via the bucketed reverse-CSR stream engine."""
+    return StreamEngine(g, core=core, **kw).count()

@@ -1,0 +1,57 @@
+"""Bucketed reverse-CSR stream engine (ops/stream.py) — differential tests.
+
+The stream engine is the round-2 headline TC fast path; it must agree
+bit-exactly with the generic setops backend and the golden counts
+(src/triangle/README.md:53) across core sizes and width-class configs.
+Small class tuples keep CPU compile time down; the TPU defaults share the
+same code paths.
+"""
+import numpy as np
+import pytest
+
+from graphminer_tpu.ops.stream import StreamEngine, triangle_count_stream
+from graphminer_tpu.workloads.triangle import triangle_count
+import oracle
+
+CLASSES = (4, 32, 256)
+WTV = (0, 16)
+
+
+def test_citeseer_golden(citeseer):
+    t = triangle_count_stream(citeseer, core=128, classes=CLASSES,
+                              wtv_classes=WTV)
+    assert t == 1166
+
+
+def test_random_vs_oracle(rand_graphs):
+    for g in rand_graphs[:2]:
+        want = oracle.triangles(g)
+        t = triangle_count_stream(g, core=16, classes=CLASSES,
+                                  wtv_classes=WTV)
+        assert t == want
+
+
+def test_core_sizes(rand_graphs):
+    g = rand_graphs[3]
+    want = oracle.triangles(g)
+    for core in (1, 8, 1024):  # degenerate, partial, whole-graph cores
+        t = triangle_count_stream(g, core=core, classes=CLASSES,
+                                  wtv_classes=WTV)
+        assert t == want, core
+
+
+def test_salt_permutes_not_changes(rand_graphs):
+    g = rand_graphs[0]
+    eng = StreamEngine(g, core=16, classes=CLASSES, wtv_classes=WTV)
+    p0 = np.asarray(eng.partials(salt=0), dtype=np.int64)
+    p1 = np.asarray(eng.partials(salt=3), dtype=np.int64)
+    assert p0.sum() == p1.sum()
+    assert (np.sort(p0) == np.sort(p1)).all()
+
+
+def test_task_accounting(citeseer):
+    eng = StreamEngine(citeseer, core=128, classes=CLASSES, wtv_classes=WTV)
+    assert sum(b.n_tasks for b in eng.stream.buckets) == eng.n_edges
+    # oriented edge count matches the DAG edge list
+    rg = citeseer.relabel_by_degree(descending=False).orientation()
+    assert eng.n_edges == rg.n_edges
