@@ -33,7 +33,7 @@ def main(argv=None):
                    help="shard over all visible devices")
     p.add_argument("--chunk", type=int, default=cfg.chunk)
     p.add_argument("--backend", default=cfg.backend,
-                   help="setops backend: auto | bc | bs | pallas")
+                   help="setops backend: auto | bc | bs")
     p.add_argument("--engine", default=cfg.engine,
                    help="frontier engine: compact | map")
     p.add_argument("--json", action="store_true", help="machine output")

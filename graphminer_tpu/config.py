@@ -43,7 +43,6 @@ class Config:
             v = os.environ.get(prefix + f.name.upper())
             if v is None:
                 continue
-            t = f.type if isinstance(f.type, type) else type(getattr(cfg, f.name) or "")
             if f.name in ("chunk", "sub", "width", "dense_core", "table_budget"):
                 setattr(cfg, f.name, int(v))
             elif f.name in ("bucketed", "mmap", "use_native"):

@@ -17,7 +17,9 @@ Two backends:
         Wins for small widths (the common case after DAG orientation).
   * bs — vectorized binary search (log2 Db compare+gather steps).
         Wins for large Db.
-A Pallas fused kernel for the hot path lives in ops/pallas_setops.py.
+The gather-free fast paths (hub bitmaps, streams, the ring engine) live in
+ops/hubcore.py, ops/stream.py and ops/ring.py; this module is the generic
+vocabulary the plan-interpreting frontier engine uses.
 """
 from __future__ import annotations
 
@@ -76,7 +78,11 @@ def member(a: jax.Array, b: jax.Array, backend: str = "auto") -> jax.Array:
         backend = _default_backend()
     if backend == "auto_cpu":
         backend = "bc" if a.shape[-1] * b.shape[-1] <= _BC_THRESHOLD else "bs"
-    return _member_bc(a, b) if backend == "bc" else _member_bs(a, b)
+    if backend == "bc":
+        return _member_bc(a, b)
+    if backend == "bs":
+        return _member_bs(a, b)
+    raise ValueError(f"unknown setops backend {backend!r}; use auto|bc|bs")
 
 
 # ---- public vocabulary ---------------------------------------------------

@@ -21,8 +21,11 @@ wall, ~65ns/task). Measured on the chip, both lose to a pure-stream design:
 This replaces both reference device strategies at once — the warp
 binary-search intersection (include/set_intersect.cuh:6-105) and the matrix
 subsystem (src/matrix/omp_mm.cpp:104-215) — with fixed-shape streaming that
-XLA pipelines at HBM bandwidth. Memory cost: the materialized stream is
-~1.3-2x the CSR (padding), traded for a >10x count-time speedup.
+XLA pipelines at HBM bandwidth. Memory cost: every task slot materializes a
+full (words + wta)-int32 src row, i.e. O(E * (words + wta) * 4B) — measured
+3.28 GB for rmat18 (15 MB CSR), so this engine is for graphs up to ~2^19
+DAG-edges-per-GB of HBM. ops/ring.py is the memory-lean successor
+(O(V * row + E * 4B)) that scales to LiveJournal-class graphs.
 """
 from __future__ import annotations
 
@@ -43,8 +46,12 @@ WIDTH_CLASSES = (2, 8, 32, 128, 512, 2048)
 # Dst tail-width classes (sub-core dsts only): the T-compare costs
 # wta * wtv_class VPU ops per task, so tight dst classes matter.
 WTV_CLASSES = (0, 16, 48)
-# Target tasks per lax.map step (chunk_d = TASK_BLOCK / width).
-TASK_BLOCK = 16384
+# Target tasks per lax.map step (chunk_d = TASK_BLOCK / width). Large on
+# purpose: steps beyond ~1M tasks add nothing, but small steps serialize —
+# measured 267M tasks/s at 8k-task steps vs 785M fused (scripts/
+# prof_popcount.py p4 vs p0). Per-step int32 partial sums stay exact as long
+# as TASK_BLOCK * max_count_per_task < 2^31.
+TASK_BLOCK = 1 << 20
 
 
 @dataclasses.dataclass(frozen=True)
@@ -226,7 +233,7 @@ def _bucket_counts_body(dst_rows, src_rows, *, words: int, wtv: int,
 
 
 def _chunk_d_for(width: int) -> int:
-    return max(8, min(4096, TASK_BLOCK // width))
+    return max(8, TASK_BLOCK // max(width, 8))
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "words"))
@@ -274,15 +281,21 @@ class StreamEngine:
 
     def timed_count(self, iters: int = 8):
         """(count, seconds/iter) — launches `iters` salted dispatches
-        back-to-back and pulls results once, amortizing the host-pull
-        latency of the tunneled chip across iterations."""
+        back-to-back, blocks on the LAST one, and only then pulls all
+        results to the host: exactly one ~27 ms tunnel readback lands in
+        the timed window instead of one per iteration."""
         import time
         _ = self.count()                      # warm compile + memo prime
         t0 = time.time()
         outs = [self.partials(salt=i + 1) for i in range(iters)]
-        totals = [int(np.asarray(o, dtype=np.int64).sum()) for o in outs]
+        # np.asarray, not block_until_ready: the tunneled runtime only
+        # guarantees completion on an actual host pull, and execution is
+        # in-order, so pulling the LAST output waits for all iters.
+        _ = np.asarray(outs[-1])
         dt = (time.time() - t0) / iters
-        assert all(t == totals[0] for t in totals)
+        totals = [int(np.asarray(o, dtype=np.int64).sum()) for o in outs]
+        if any(t != totals[0] for t in totals):
+            raise RuntimeError(f"salted dispatches disagree: {totals}")
         return totals[0], dt
 
 

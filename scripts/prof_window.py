@@ -46,8 +46,9 @@ src_h = rng.integers(0, 2**31 - 1, size=(T, W), dtype=np.int32)
 
 table = jnp.asarray(table_h)
 # bytes view for the one-hot variant: [ND, 4W] bf16
+# keep bytes unsigned (int32): int8 would overflow values >= 128 to negatives
 tbytes = jnp.asarray(
-    ((table_h[:, :, None].view(np.uint8)).reshape(ND, 4 * W)).astype(np.int8))
+    ((table_h[:, :, None].view(np.uint8)).reshape(ND, 4 * W)).astype(np.int32))
 starts = jnp.asarray(starts_h)
 lidx = jnp.asarray(lidx_h)
 src_stream = jnp.asarray(src_h.reshape(nchunks, CAP, W))
