@@ -39,21 +39,33 @@ from ..types import SENTINEL, cdiv
 def _build_candidates(dg: DeviceGraph, lp: Level, verts: List[jax.Array],
                       sets: Dict[int, jax.Array], width: int,
                       backend: str, cand: Optional[jax.Array] = None,
-                      idx: int = 0):
-    """Candidate tile C [B, width] for the next vertex + optional upper bound.
+                      idx: int = 0, wf: Optional[int] = None):
+    """Candidate tile C [B, w] for the next vertex + optional upper bound.
     Rows of dead embeddings (newest vertex == SENTINEL) come out all-SENTINEL.
+
+    width: tile width for rows of the edge-task endpoints v0/v1 (and sets
+    derived from them) — the task's degree class under bucketed execution.
+    wf: full width for rows of deeper vertices (candidates can be hubs of any
+    degree, so their rows must never be truncated); defaults to width.
     cand: optional [k, V] int8 per-query-vertex candidate bitmap (the query
     workload's GQL/NLF filter, filter.cc parity) — candidates with
     cand[idx][v] == 0 are masked out."""
+    wf = wf or width
+
+    def row_w(j: int) -> int:
+        return width if j < 2 else wf
+
     kind, j = lp.source
     if kind == 'adj':
-        c = dg.gather_rows(verts[j], width)
+        c = dg.gather_rows(verts[j], row_w(j))
     else:
         c = sets[j]
     for j in lp.intersect:
-        c = setops.intersect(c, dg.gather_rows(verts[j], width), backend=backend)
+        c = setops.intersect(c, dg.gather_rows(verts[j], row_w(j)),
+                             backend=backend)
     for j in lp.difference:
-        c = setops.difference(c, dg.gather_rows(verts[j], width), backend=backend)
+        c = setops.difference(c, dg.gather_rows(verts[j], row_w(j)),
+                              backend=backend)
     if lp.exclude:
         anc = jnp.stack([verts[j] for j in lp.exclude], axis=1)
         c = setops.exclude(c, anc)
@@ -99,10 +111,10 @@ def _final_count(c: jax.Array, upper, last_vert: jax.Array) -> jax.Array:
 # --------------------------------------------------------------------------
 
 def _descend_map(dg, plan, idx, verts, sets, width, backend,
-                 cand=None) -> jax.Array:
+                 cand=None, wf=None) -> jax.Array:
     lp = plan.levels[idx - 2]
     c, upper = _build_candidates(dg, lp, verts, sets, width, backend,
-                                 cand, idx)
+                                 cand, idx, wf)
 
     if idx == plan.k - 1:
         return _final_count(c, upper, verts[-1])
@@ -120,7 +132,7 @@ def _descend_map(dg, plan, idx, verts, sets, width, backend,
 
     def slot_body(col):  # [B] vertex ids for this slot
         cnt = _descend_map(dg, plan, idx + 1, verts + [col], sets, width,
-                           backend, cand)
+                           backend, cand, wf)
         return jnp.where(col == SENTINEL, 0, cnt)
 
     per_slot = jax.lax.map(slot_body, jnp.transpose(c))  # [W, B] int64
@@ -152,13 +164,13 @@ def _compact(c: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
 
 
 def _descend_compact(dg, plan, idx, emb, sets, width, sub, backend,
-                     cand=None) -> jax.Array:
+                     cand=None, wf=None) -> jax.Array:
     """emb: [B, idx] embeddings (row = (v0..v_{idx-1})); returns int64 scalar."""
     b = emb.shape[0]
     verts = [emb[:, j] for j in range(idx)]
     lp = plan.levels[idx - 2]
     c, upper = _build_candidates(dg, lp, verts, sets, width, backend,
-                                 cand, idx)
+                                 cand, idx, wf)
 
     if idx == plan.k - 1:
         return jnp.sum(_final_count(c, upper, verts[-1]))
@@ -184,7 +196,7 @@ def _descend_compact(dg, plan, idx, emb, sets, width, sub, backend,
         new_emb = jnp.concatenate([emb[ps], vs[:, None]], axis=1)
         new_sets = {l: s[ps] for l, s in sets.items()}
         return total + _descend_compact(dg, plan, idx + 1, new_emb, new_sets,
-                                        width, sub, backend, cand)
+                                        width, sub, backend, cand, wf)
 
     # init carry derives from emb so its sharding metadata (vma) matches the
     # shard-varying body output under shard_map; XLA folds the 0* away
@@ -197,38 +209,63 @@ def _descend_compact(dg, plan, idx, emb, sets, width, sub, backend,
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.jit,
-                   static_argnames=("plan", "width", "chunk", "backend"))
+                   static_argnames=("plan", "width", "chunk", "backend", "wf"))
 def _count_device_map(dg: DeviceGraph, src, dst, cand=None, *, plan: Plan,
-                      width: int, chunk: int, backend: str) -> jax.Array:
+                      width: int, chunk: int, backend: str,
+                      wf: Optional[int] = None) -> jax.Array:
     def fn(s, d):
-        return _descend_map(dg, plan, 2, [s, d], {}, width, backend, cand)
+        return _descend_map(dg, plan, 2, [s, d], {}, width, backend, cand, wf)
     return sum_chunked(fn, (src, dst), chunk)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("plan", "width", "chunk", "sub", "backend"))
+                   static_argnames=("plan", "width", "chunk", "sub",
+                                    "backend", "wf"))
 def _count_device_compact(dg: DeviceGraph, src, dst, cand=None, *, plan: Plan,
                           width: int, chunk: int, sub: int,
-                          backend: str) -> jax.Array:
+                          backend: str, wf: Optional[int] = None) -> jax.Array:
     srcs, dsts = pad_to_chunks((src, dst), chunk)
 
     def body(xs):
         s, d = xs
         emb = jnp.stack([s, d], axis=1)
         return _descend_compact(dg, plan, 2, emb, {}, width, sub, backend,
-                                cand)
+                                cand, wf)
 
     return jnp.sum(jax.lax.map(body, (srcs, dsts)))
 
 
+def _plan_refs_deep_rows(plan: Plan) -> bool:
+    """True when any level gathers the adjacency row of a vertex matched at
+    level >= 2 (a candidate, whose degree is unbounded by the task class)."""
+    for lp in plan.levels:
+        kind, j = lp.source
+        if kind == 'adj' and j >= 2:
+            return True
+        if any(x >= 2 for x in lp.intersect) or \
+           any(x >= 2 for x in lp.difference):
+            return True
+    return False
+
+
 def count_pattern(g, plan: Plan, chunk: int = 2048, sub: Optional[int] = None,
                   backend: str = "auto", width: Optional[int] = None,
-                  engine: str = "compact", cand=None) -> int:
+                  engine: str = "compact", cand=None,
+                  bucketed: Optional[bool] = None) -> int:
     """End-to-end: host preprocessing per the plan, then chunked device count.
+
+    bucketed=True groups edge tasks by the degree class of their endpoints
+    and runs one fixed-width variant per class — candidate tiles then track
+    the task's real degrees instead of max_degree (the TPU analogue of the
+    reference's warp/CTA strategy dispatch, common.mk:73-74,100-104 and
+    rectangle_nested_balanced.cuh work distribution). Rows of deeper-level
+    vertices are still gathered at full width (wf) for exactness. Defaults
+    to on when the graph's max degree is > 4x the class it would pick.
 
     cand: optional numpy bool/int8 [k, V] candidate matrix (query workload's
     GQL/NLF/k-core filter) — restricts both the edge-task list (v0/v1) and
     every level's candidate tiles."""
+    import numpy as np
     from ..utils.profiling import PROFILER
     if plan.use_dag and not g.is_dag:
         with PROFILER.phase("orient"):
@@ -237,7 +274,6 @@ def count_pattern(g, plan: Plan, chunk: int = 2048, sub: Optional[int] = None,
         dg = DeviceGraph.from_host(g)
         src, dst = g.edge_list(sym_break=plan.edge_sym_break)
     if cand is not None:
-        import numpy as np
         cand_h = np.asarray(cand).astype(np.int8)
         keep = (cand_h[0][src] != 0) & (cand_h[1][dst] != 0)
         src, dst = src[keep], dst[keep]
@@ -249,7 +285,7 @@ def count_pattern(g, plan: Plan, chunk: int = 2048, sub: Optional[int] = None,
         if plan.v1_label is not None:
             keep &= vl[dst] == plan.v1_label
         src, dst = src[keep], dst[keep]
-    width = width or max(8, g.max_degree)
+    wf = max(8, g.max_degree)
     if plan.k == 2:  # single-edge pattern: the task list itself is the answer
         return int(src.shape[0]) // plan.multiplicity
     # per-op accounting (reference common.h:72-74 time_ops / intersect.cc
@@ -258,14 +294,36 @@ def count_pattern(g, plan: Plan, chunk: int = 2048, sub: Optional[int] = None,
     n_ops_l2 = 1 + len(plan.levels[0].intersect) + len(plan.levels[0].difference)
     PROFILER.count("edge_tasks", int(src.shape[0]))
     PROFILER.count("set_ops_level2", int(src.shape[0]) * n_ops_l2)
-    src, dst = jnp.asarray(src), jnp.asarray(dst)
-    with PROFILER.phase("device_count"):
+
+    def run(s, d, w, ck):
         if engine == "map":
-            total = _count_device_map(dg, src, dst, cand, plan=plan,
-                                      width=width, chunk=chunk,
-                                      backend=backend)
-        else:
-            total = _count_device_compact(dg, src, dst, cand, plan=plan,
-                                          width=width, chunk=chunk,
-                                          sub=sub or chunk, backend=backend)
-    return int(total) // plan.multiplicity
+            return _count_device_map(dg, s, d, cand, plan=plan, width=w,
+                                     chunk=ck, backend=backend, wf=wf)
+        return _count_device_compact(dg, s, d, cand, plan=plan, width=w,
+                                     chunk=ck, sub=sub or ck,
+                                     backend=backend, wf=wf)
+
+    if bucketed is None:
+        bucketed = width is None and wf > 64 and src.shape[0] > 0
+    if not bucketed or width is not None:
+        with PROFILER.phase("device_count"):
+            total = int(run(jnp.asarray(src), jnp.asarray(dst),
+                            width or wf, chunk))
+        return total // plan.multiplicity
+
+    from ..utils.bucketing import width_class, pick_chunk
+    deg = np.diff(g.rowptr)
+    cls, widths = width_class(np.maximum(deg[src], deg[dst]), wf)
+    order = np.argsort(cls, kind="stable")
+    src, dst, cls = src[order], dst[order], cls[order]
+    bounds = np.searchsorted(cls, np.arange(len(widths) + 1))
+    total = 0
+    with PROFILER.phase("device_count"):
+        for ci in range(len(widths)):
+            b, e = int(bounds[ci]), int(bounds[ci + 1])
+            if b == e:
+                continue
+            ck = pick_chunk(e - b, max_chunk=chunk)
+            total += int(run(jnp.asarray(src[b:e]), jnp.asarray(dst[b:e]),
+                             widths[ci], ck))
+    return total // plan.multiplicity

@@ -25,17 +25,18 @@ class InducedPartition:
     """Local subgraph for one worker.
 
     local graph vertices = owned range ∪ halo (neighbors of owned), re-indexed
-    0..n_local; `global_ids[i]` maps back; `n_owned` leading vertices are the
-    owned ones. Edge tasks anchored at owned vertices are complete in the
-    local graph (1-hop closure), which is what edge-parallel counting with
-    recomputation needs for patterns whose plan only touches task-endpoint
-    adjacency.
+    0..n_local in GLOBAL id order — order-preserving, because symmetry-break
+    comparisons (v1 < v0, bound/lbound levels) are id-order sensitive;
+    `global_ids[i]` maps back; `owned_mask[i]` marks owned locals. Edge tasks
+    anchored at owned vertices are complete in the local graph (halo
+    closure), which is what edge-parallel counting with recomputation needs.
 
     Contract: apply degree orientation (and any relabeling) on the GLOBAL
     graph BEFORE partitioning — local degrees would otherwise change the
     (degree, id) DAG and break exactly-once counting across partitions."""
     graph: HostGraph
     global_ids: np.ndarray
+    owned_mask: np.ndarray
     n_owned: int
     owned_start: int
     owned_stop: int
@@ -52,27 +53,49 @@ def edgecut_partition_1d(g: HostGraph, n_parts: int) -> List[np.ndarray]:
     return np.array(sorted(set(bounds)), dtype=np.int64)
 
 
-def induced_partition_1d(g: HostGraph, n_parts: int) -> List[InducedPartition]:
+def induced_partition_1d(g: HostGraph, n_parts: int,
+                         hops: int = 1) -> List[InducedPartition]:
     """Vertex-induced 1D partitions with halo
-    (graph_partition.cc:82-160 + generate_induced_subgraph :24-79)."""
+    (graph_partition.cc:82-160 + generate_induced_subgraph :24-79).
+
+    hops: halo radius. Vertices within distance < hops of the owned range
+    keep FULL rows; the outermost shell keeps rows restricted to members.
+    hops=1 suffices for plans whose every matched vertex is adjacent to the
+    task anchor v0 (TC, k-clique, diamond); plans that walk away from v0
+    (rectangle, house, pentagon) need hops=2 — see
+    parallel.distributed.plan_halo_hops."""
+    assert hops >= 1
     bounds = edgecut_partition_1d(g, n_parts)
+    deg = np.diff(g.rowptr)
+    src_all = np.repeat(np.arange(g.n_vertices, dtype=np.int64), deg)
     out = []
     for p in range(len(bounds) - 1):
         lo, hi = int(bounds[p]), int(bounds[p + 1])
         owned = np.arange(lo, hi, dtype=np.int64)
-        halo = np.unique(g.colidx[g.rowptr[lo]:g.rowptr[hi]].astype(np.int64))
-        halo = halo[(halo < lo) | (halo >= hi)]
-        verts = np.concatenate([owned, halo])
+        # BFS shells: full-row set grows hops-1 times beyond owned
+        full = np.zeros(g.n_vertices, dtype=bool)
+        full[lo:hi] = True
+        frontier = owned
+        for _ in range(hops - 1):
+            fmask = np.zeros(g.n_vertices, dtype=bool)
+            fmask[frontier] = True
+            nb = np.unique(g.colidx[fmask[src_all]].astype(np.int64))
+            frontier = nb[~full[nb]]
+            full[frontier] = True
+        # outer shell: neighbors of full-row vertices, restricted rows
+        mask_src = full[src_all]
+        halo = np.unique(g.colidx[mask_src].astype(np.int64))
+        member = full.copy()
+        member[halo] = True
+        verts = np.nonzero(member)[0]                # ascending global order
         remap = np.full(g.n_vertices, -1, dtype=np.int64)
         remap[verts] = np.arange(verts.shape[0])
-        # local CSR: full rows for owned vertices, halo rows restricted to
-        # members (so local adjacency is closed within the partition)
-        member = remap >= 0
+        full_local = full[verts]
         rows: List[np.ndarray] = []
         rowptr = np.zeros(verts.shape[0] + 1, dtype=EID_DTYPE)
         for i, v in enumerate(verts):
             nb = g.colidx[g.rowptr[v]:g.rowptr[v + 1]].astype(np.int64)
-            if i >= owned.shape[0]:
+            if not full_local[i]:
                 nb = nb[member[nb]]
             local = np.sort(remap[nb])
             rows.append(local.astype(VID_DTYPE))
@@ -81,8 +104,9 @@ def induced_partition_1d(g: HostGraph, n_parts: int) -> List[InducedPartition]:
                   else np.zeros(0, dtype=VID_DTYPE))
         vl = g.vlabels[verts] if g.vlabels is not None else None
         lg = HostGraph(rowptr=rowptr, colidx=colidx, vlabels=vl,
-                       name=f"{g.name}.part{p}")
+                       name=f"{g.name}.part{p}", is_dag=g.is_dag)
         out.append(InducedPartition(graph=lg, global_ids=verts,
+                                    owned_mask=(verts >= lo) & (verts < hi),
                                     n_owned=owned.shape[0],
                                     owned_start=lo, owned_stop=hi))
     return out

@@ -58,7 +58,7 @@ def test_induced_partition_triangles(rand_graphs):
         for p in parts:
             dag = p.graph
             src, dst = dag.edge_list()
-            own = src < p.n_owned
+            own = p.owned_mask[src]
             # em, crude local count via numpy (tests only)
             rp, col = dag.rowptr, dag.colidx
             N = lambda v: col[rp[v]:rp[v + 1]]
