@@ -24,7 +24,11 @@ from typing import Optional, Tuple
 
 @dataclass(frozen=True)
 class Level:
-    source: Tuple[str, int]                  # ('adj', j) or ('set', l)
+    source: Tuple[str, int]                  # ('adj', j) | ('set', l) |
+                                             # ('cand', i): the global
+                                             # filtered candidate list for
+                                             # level i (query workload),
+                                             # broadcast per embedding
     intersect: Tuple[int, ...] = ()
     difference: Tuple[int, ...] = ()
     bound: Tuple[int, ...] = ()              # v < min(v_j)
@@ -153,7 +157,8 @@ def symmetry_conditions(pat, order):
 
 
 def plan_from_pattern(pat, name: Optional[str] = None,
-                      labeled: bool = False) -> Plan:
+                      labeled: bool = False,
+                      prefer=None) -> Plan:
     """Compile an arbitrary connected PatternGraph into an executable Plan.
 
     This replaces the reference's offline codegen (vertex_gen.py → generated
@@ -167,23 +172,33 @@ def plan_from_pattern(pat, name: Optional[str] = None,
 
     labeled=True keeps per-vertex label constraints from pat.vlabels (query
     workload); automorphisms are label-preserving either way.
+
+    prefer: optional per-pattern-vertex score (lower = match earlier) — the
+    query workload passes filtered candidate-set sizes so selective vertices
+    anchor the search (QueryPlan::generateGQLQueryPlan ordering,
+    query_plan.h:10). Connectivity still dominates; prefer breaks ties.
     """
     n = pat.n_vertices
     assert n >= 2 and pat.n_edges >= 1
     a = pat.adjacency()
     deg = a.sum(1)
+    pref = [0] * n if prefer is None else [float(x) for x in prefer]
 
-    # matching order: start at the highest-degree edge, grow by max
-    # connectivity to the prefix (ties: higher degree, lower id)
-    best_edge = max(pat.edges, key=lambda e: (deg[e[0]] + deg[e[1]],
-                                              max(deg[e[0]], deg[e[1]])))
+    # matching order: start at the highest-degree (then most selective)
+    # edge, grow by max connectivity to the prefix (ties: selectivity,
+    # higher degree, lower id)
+    best_edge = max(pat.edges,
+                    key=lambda e: (deg[e[0]] + deg[e[1]],
+                                   -(pref[e[0]] + pref[e[1]]),
+                                   max(deg[e[0]], deg[e[1]])))
     u0, v0 = best_edge
-    if deg[v0] > deg[u0]:
+    if (deg[v0], -pref[v0]) > (deg[u0], -pref[u0]):
         u0, v0 = v0, u0
     order = [u0, v0]
     while len(order) < n:
         rest = [w for w in range(n) if w not in order]
-        w = max(rest, key=lambda w: (sum(a[w, x] for x in order), deg[w], -w))
+        w = max(rest, key=lambda w: (sum(a[w, x] for x in order),
+                                     -pref[w], deg[w], -w))
         assert sum(a[w, x] for x in order) > 0, "pattern must be connected"
         order.append(w)
 

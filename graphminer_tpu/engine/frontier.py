@@ -39,7 +39,8 @@ from ..types import SENTINEL, cdiv
 def _build_candidates(dg: DeviceGraph, lp: Level, verts: List[jax.Array],
                       sets: Dict[int, jax.Array], width: int,
                       backend: str, cand: Optional[jax.Array] = None,
-                      idx: int = 0, wf: Optional[int] = None):
+                      idx: int = 0, wf: Optional[int] = None,
+                      cand_sets: Optional[Dict[int, jax.Array]] = None):
     """Candidate tile C [B, w] for the next vertex + optional upper bound.
     Rows of dead embeddings (newest vertex == SENTINEL) come out all-SENTINEL.
 
@@ -58,6 +59,12 @@ def _build_candidates(dg: DeviceGraph, lp: Level, verts: List[jax.Array],
     kind, j = lp.source
     if kind == 'adj':
         c = dg.gather_rows(verts[j], row_w(j))
+    elif kind == 'cand':
+        # candidate-set-indexed execution (query_plan.h:10 GQL ordering):
+        # iterate the small GLOBAL filtered candidate list of this level and
+        # probe adjacency, instead of gathering full rows and masking
+        c = jnp.broadcast_to(cand_sets[j][None, :],
+                             (verts[0].shape[0], cand_sets[j].shape[0]))
     else:
         c = sets[j]
     for j in lp.intersect:
@@ -111,10 +118,10 @@ def _final_count(c: jax.Array, upper, last_vert: jax.Array) -> jax.Array:
 # --------------------------------------------------------------------------
 
 def _descend_map(dg, plan, idx, verts, sets, width, backend,
-                 cand=None, wf=None) -> jax.Array:
+                 cand=None, wf=None, cand_sets=None) -> jax.Array:
     lp = plan.levels[idx - 2]
     c, upper = _build_candidates(dg, lp, verts, sets, width, backend,
-                                 cand, idx, wf)
+                                 cand, idx, wf, cand_sets)
 
     if idx == plan.k - 1:
         return _final_count(c, upper, verts[-1])
@@ -132,7 +139,7 @@ def _descend_map(dg, plan, idx, verts, sets, width, backend,
 
     def slot_body(col):  # [B] vertex ids for this slot
         cnt = _descend_map(dg, plan, idx + 1, verts + [col], sets, width,
-                           backend, cand, wf)
+                           backend, cand, wf, cand_sets)
         return jnp.where(col == SENTINEL, 0, cnt)
 
     per_slot = jax.lax.map(slot_body, jnp.transpose(c))  # [W, B] int64
@@ -164,13 +171,13 @@ def _compact(c: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
 
 
 def _descend_compact(dg, plan, idx, emb, sets, width, sub, backend,
-                     cand=None, wf=None) -> jax.Array:
+                     cand=None, wf=None, cand_sets=None) -> jax.Array:
     """emb: [B, idx] embeddings (row = (v0..v_{idx-1})); returns int64 scalar."""
     b = emb.shape[0]
     verts = [emb[:, j] for j in range(idx)]
     lp = plan.levels[idx - 2]
     c, upper = _build_candidates(dg, lp, verts, sets, width, backend,
-                                 cand, idx, wf)
+                                 cand, idx, wf, cand_sets)
 
     if idx == plan.k - 1:
         return jnp.sum(_final_count(c, upper, verts[-1]))
@@ -196,7 +203,8 @@ def _descend_compact(dg, plan, idx, emb, sets, width, sub, backend,
         new_emb = jnp.concatenate([emb[ps], vs[:, None]], axis=1)
         new_sets = {l: s[ps] for l, s in sets.items()}
         return total + _descend_compact(dg, plan, idx + 1, new_emb, new_sets,
-                                        width, sub, backend, cand, wf)
+                                        width, sub, backend, cand, wf,
+                                        cand_sets)
 
     # init carry derives from emb so its sharding metadata (vma) matches the
     # shard-varying body output under shard_map; XLA folds the 0* away
@@ -210,18 +218,20 @@ def _descend_compact(dg, plan, idx, emb, sets, width, sub, backend,
 
 @functools.partial(jax.jit,
                    static_argnames=("plan", "width", "chunk", "backend", "wf"))
-def _count_device_map(dg: DeviceGraph, src, dst, cand=None, *, plan: Plan,
-                      width: int, chunk: int, backend: str,
+def _count_device_map(dg: DeviceGraph, src, dst, cand=None, cand_sets=None,
+                      *, plan: Plan, width: int, chunk: int, backend: str,
                       wf: Optional[int] = None) -> jax.Array:
     def fn(s, d):
-        return _descend_map(dg, plan, 2, [s, d], {}, width, backend, cand, wf)
+        return _descend_map(dg, plan, 2, [s, d], {}, width, backend, cand,
+                            wf, cand_sets)
     return sum_chunked(fn, (src, dst), chunk)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("plan", "width", "chunk", "sub",
                                     "backend", "wf"))
-def _count_device_compact(dg: DeviceGraph, src, dst, cand=None, *, plan: Plan,
+def _count_device_compact(dg: DeviceGraph, src, dst, cand=None,
+                          cand_sets=None, *, plan: Plan,
                           width: int, chunk: int, sub: int,
                           backend: str, wf: Optional[int] = None) -> jax.Array:
     srcs, dsts = pad_to_chunks((src, dst), chunk)
@@ -230,9 +240,85 @@ def _count_device_compact(dg: DeviceGraph, src, dst, cand=None, *, plan: Plan,
         s, d = xs
         emb = jnp.stack([s, d], axis=1)
         return _descend_compact(dg, plan, 2, emb, {}, width, sub, backend,
-                                cand, wf)
+                                cand, wf, cand_sets)
 
     return jnp.sum(jax.lax.map(body, (srcs, dsts)))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("plans", "width", "chunk", "sub",
+                                    "backend", "wf"))
+def _count_device_multi(dg: DeviceGraph, src, dst, *, plans, width: int,
+                        chunk: int, sub: int, backend: str,
+                        wf: Optional[int] = None) -> jax.Array:
+    """Evaluate SEVERAL plans over the same edge-task chunks in ONE device
+    program — the TPU analogue of the reference's fused multi-counter motif
+    DFS (src/motif/gpu_kernels/ automine_5motif, 21 counters in one kernel).
+    Plans sharing a level-2 op signature share the level-2 candidate build
+    via XLA common-subexpression elimination; the graph, task list, chunking
+    and dispatch are shared outright. Returns int64 [len(plans)]."""
+    srcs, dsts = pad_to_chunks((src, dst), chunk)
+
+    def body(xs):
+        s, d = xs
+        emb = jnp.stack([s, d], axis=1)
+        return jnp.stack([
+            _descend_compact(dg, p, 2, emb, {}, width, sub, backend,
+                             None, wf) for p in plans])
+
+    return jnp.sum(jax.lax.map(body, (srcs, dsts)), axis=0)
+
+
+def count_patterns_fused(g, plans, chunk: int = 2048,
+                         sub: Optional[int] = None, backend: str = "auto",
+                         bucketed: Optional[bool] = None) -> list:
+    """Count many patterns in shared passes: plans are grouped by their
+    edge-task shape (symmetry breaking / DAG use); each group shares host
+    prep, the device graph, the task list, and ONE compiled multi-plan
+    program per width class. Returns counts aligned with `plans`."""
+    import numpy as np
+    from ..utils.profiling import PROFILER
+    out = [None] * len(plans)
+    groups = {}
+    for i, p in enumerate(plans):
+        groups.setdefault((p.use_dag, p.edge_sym_break), []).append(i)
+    for (use_dag, sym), idxs in groups.items():
+        gg = g.orientation() if use_dag and not g.is_dag else g
+        dg = DeviceGraph.from_host(gg)
+        src, dst = gg.edge_list(sym_break=sym)
+        wf = max(8, gg.max_degree)
+        group_plans = tuple(plans[i] for i in idxs)
+        PROFILER.count("edge_tasks", int(src.shape[0]) * len(group_plans))
+        buck = bucketed if bucketed is not None else wf > 64
+
+        def run(s, d, w, ck):
+            return _count_device_multi(dg, s, d, plans=group_plans, width=w,
+                                       chunk=ck, sub=sub or ck,
+                                       backend=backend, wf=wf)
+
+        with PROFILER.phase("device_count"):
+            if not buck:
+                totals = np.asarray(run(jnp.asarray(src), jnp.asarray(dst),
+                                        wf, chunk))
+            else:
+                from ..utils.bucketing import width_class, pick_chunk
+                deg = np.diff(gg.rowptr)
+                cls, widths = width_class(np.maximum(deg[src], deg[dst]), wf)
+                order = np.argsort(cls, kind="stable")
+                src, dst, cls = src[order], dst[order], cls[order]
+                bounds = np.searchsorted(cls, np.arange(len(widths) + 1))
+                totals = np.zeros(len(group_plans), dtype=np.int64)
+                for ci in range(len(widths)):
+                    b, e = int(bounds[ci]), int(bounds[ci + 1])
+                    if b == e:
+                        continue
+                    ck = pick_chunk(e - b, max_chunk=chunk)
+                    totals += np.asarray(run(jnp.asarray(src[b:e]),
+                                             jnp.asarray(dst[b:e]),
+                                             widths[ci], ck))
+        for j, i in enumerate(idxs):
+            out[i] = int(totals[j]) // plans[i].multiplicity
+    return out
 
 
 def _plan_refs_deep_rows(plan: Plan) -> bool:
@@ -251,7 +337,9 @@ def _plan_refs_deep_rows(plan: Plan) -> bool:
 def count_pattern(g, plan: Plan, chunk: int = 2048, sub: Optional[int] = None,
                   backend: str = "auto", width: Optional[int] = None,
                   engine: str = "compact", cand=None,
-                  bucketed: Optional[bool] = None) -> int:
+                  bucketed: Optional[bool] = None,
+                  cand_sets: Optional[Dict[int, "jax.Array"]] = None,
+                  tasks=None) -> int:
     """End-to-end: host preprocessing per the plan, then chunked device count.
 
     bucketed=True groups edge tasks by the degree class of their endpoints
@@ -264,15 +352,23 @@ def count_pattern(g, plan: Plan, chunk: int = 2048, sub: Optional[int] = None,
 
     cand: optional numpy bool/int8 [k, V] candidate matrix (query workload's
     GQL/NLF/k-core filter) — restricts both the edge-task list (v0/v1) and
-    every level's candidate tiles."""
+    every level's candidate tiles.
+    tasks: optional explicit (src, dst) edge-task arrays (already in g's id
+    space, consistent with the plan's symmetry breaking) — used by hybrid
+    engines that split the task list across strategies (e.g. the 4-clique
+    core/tail split, ops/clique4.py)."""
     import numpy as np
     from ..utils.profiling import PROFILER
     if plan.use_dag and not g.is_dag:
+        assert tasks is None, "explicit tasks must come with the final graph"
         with PROFILER.phase("orient"):
             g = g.orientation()
     with PROFILER.phase("prep"):
         dg = DeviceGraph.from_host(g)
-        src, dst = g.edge_list(sym_break=plan.edge_sym_break)
+        if tasks is not None:
+            src, dst = np.asarray(tasks[0]), np.asarray(tasks[1])
+        else:
+            src, dst = g.edge_list(sym_break=plan.edge_sym_break)
     if cand is not None:
         cand_h = np.asarray(cand).astype(np.int8)
         keep = (cand_h[0][src] != 0) & (cand_h[1][dst] != 0)
@@ -295,12 +391,16 @@ def count_pattern(g, plan: Plan, chunk: int = 2048, sub: Optional[int] = None,
     PROFILER.count("edge_tasks", int(src.shape[0]))
     PROFILER.count("set_ops_level2", int(src.shape[0]) * n_ops_l2)
 
+    if cand_sets is not None:
+        cand_sets = {k: jnp.asarray(v) for k, v in cand_sets.items()}
+
     def run(s, d, w, ck):
         if engine == "map":
-            return _count_device_map(dg, s, d, cand, plan=plan, width=w,
-                                     chunk=ck, backend=backend, wf=wf)
-        return _count_device_compact(dg, s, d, cand, plan=plan, width=w,
-                                     chunk=ck, sub=sub or ck,
+            return _count_device_map(dg, s, d, cand, cand_sets, plan=plan,
+                                     width=w, chunk=ck, backend=backend,
+                                     wf=wf)
+        return _count_device_compact(dg, s, d, cand, cand_sets, plan=plan,
+                                     width=w, chunk=ck, sub=sub or ck,
                                      backend=backend, wf=wf)
 
     if bucketed is None:

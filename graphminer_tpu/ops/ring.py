@@ -72,6 +72,7 @@ class CBucket:
     src_bm: jax.Array    # int32 [n, words] core bitmaps, one row per src
     dst_loc: jax.Array   # int32 [n, wc] core-local dst ids, SENTINEL padded
     n_tasks: int
+    row_tasks: Optional[np.ndarray] = None   # host int32 [n] tasks per row
 
 
 @dataclasses.dataclass(frozen=True)
@@ -159,9 +160,11 @@ def build_ring(g, core: int = CORE, c_classes=C_CLASSES,
         dl[:n_d][valid] = core_cols[np.minimum(pos, core_cols.shape[0] - 1)][valid]
         bm = np.zeros((n_pad, words), dtype=np.int32)
         bm[:n_d] = src_bm_all[m]
+        rt = np.zeros(n_pad, dtype=np.int32)
+        rt[:n_d] = ln
         cbuckets.append(CBucket(wc=k, src_bm=jnp.asarray(bm),
                                 dst_loc=jnp.asarray(dl),
-                                n_tasks=int(ln.sum())))
+                                n_tasks=int(ln.sum()), row_tasks=rt))
 
     # ---- phase T: sub-core-dst tasks as (src list, dst list) pairs ---------
     tsrc = src[~in_core].astype(np.int64)
@@ -231,7 +234,10 @@ def _cbucket_partials(core_bm, src_bm, dst_loc, *, words: int, wc: int,
     """popcount(CB[u] & CORE[dst]) per task via fused gather."""
     c = core_bm.shape[0]
     n = src_bm.shape[0]
-    chunk = max(8, TASK_BLOCK // max(wc * words // 8, 8))
+    # cap the [chunk, wc, words] gathered-row intermediate at ~64 MB in case
+    # XLA materializes it (RESOURCE_EXHAUSTED observed at larger steps)
+    chunk = max(8, min(TASK_BLOCK // max(wc * words // 8, 8),
+                       (64 << 20) // (wc * words * 4)))
     n_chunks = cdiv(n, chunk)
     pad = n_chunks * chunk - n
     if pad:
@@ -342,6 +348,49 @@ class RingEngine:
         if any(t != totals[0] for t in totals):
             raise RuntimeError(f"salted dispatches disagree: {totals}")
         return totals[0], dt
+
+    def _half(self) -> "RingEngine":
+        """First-half-rows view of every bucket (slope timing)."""
+        h = lambda n: max(8, n // 2 // 8 * 8)
+        eng = object.__new__(RingEngine)
+        eng.layout = self.layout
+        eng.carrays = tuple((bm[: h(bm.shape[0])], dl[: h(dl.shape[0])])
+                            for bm, dl in self.carrays)
+        eng.cspec = self.cspec
+        eng.tarrays = tuple((sr[: h(sr.shape[0])], dr[: h(dr.shape[0])])
+                            for sr, dr in self.tarrays)
+        eng.tspec = self.tspec
+        eng._pallas = self._pallas
+        eng.use_pallas = self.use_pallas
+        eng.n_edges = (
+            sum(int(b.row_tasks[: h(b.row_tasks.shape[0])].sum())
+                for b in self.layout.cbuckets)
+            + sum(min(b.n_tasks, h(b.src_rows.shape[0]))
+                  for b in self.layout.tbuckets))
+        return eng
+
+    def timed_slope(self, samples: int = 5):
+        """Marginal device throughput via the full-vs-half two-size slope
+        (cancels the ~25 ms tunnel dispatch cost; see stream.timed_slope)."""
+        import time
+        half = self._half()
+        _ = self.count()
+        _ = half.count()
+
+        def sample(eng, salt):
+            t0 = time.time()
+            _ = np.asarray(eng.partials(salt=salt))
+            return time.time() - t0
+
+        tf, th = [], []
+        for i in range(samples):
+            tf.append(sample(self, 2 * i + 1))
+            th.append(sample(half, 2 * i + 2))
+        dt = min(tf) - min(th)
+        de = self.n_edges - half.n_edges
+        return {"edges_per_s": de / max(dt, 1e-9), "latency_s": min(tf),
+                "times_full": tf, "times_half": th,
+                "tasks_full": self.n_edges, "tasks_half": half.n_edges}
 
 
 def triangle_count_ring(g, core: int = CORE, **kw) -> int:

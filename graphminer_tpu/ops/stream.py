@@ -66,6 +66,7 @@ class Bucket:
     dst_rows: jax.Array     # [n_dst, words + wtv]
     src_rows: jax.Array     # [n_dst, width, words + wta]
     n_tasks: int            # true (unpadded) task count
+    row_tasks: Optional[np.ndarray] = None  # host int32 [n_dst] true tasks/row
 
     @property
     def spec(self):
@@ -188,10 +189,12 @@ def build_stream(g, core: int = 4096, classes=WIDTH_CLASSES,
                 dst_rows = dst_rows.at[n_d:].set(
                     jnp.where(jnp.arange(dst_rows.shape[1]) < lay.words,
                               0, SENTINEL))
+            rt = np.zeros(n_pad, dtype=np.int32)
+            rt[:n_d] = lens_b
             buckets.append(Bucket(width=wc, wtv=int(wtvc), wta=wta,
                                   n_dst=n_pad, dst_rows=dst_rows,
                                   src_rows=src_rows,
-                                  n_tasks=int(lens_b.sum())))
+                                  n_tasks=int(lens_b.sum()), row_tasks=rt))
     return StreamLayout(layout=lay, buckets=tuple(buckets),
                         n_tasks=int(dst.shape[0]))
 
@@ -281,9 +284,10 @@ class StreamEngine:
 
     def timed_count(self, iters: int = 8):
         """(count, seconds/iter) — launches `iters` salted dispatches
-        back-to-back, blocks on the LAST one, and only then pulls all
-        results to the host: exactly one ~27 ms tunnel readback lands in
-        the timed window instead of one per iteration."""
+        back-to-back with ONE host pull in the timed window. NOTE: the
+        tunneled runtime does NOT pipeline dispatches (each pays the ~25 ms
+        round trip), so this measures sustained dispatch throughput
+        including the tunnel floor; timed_slope() isolates device compute."""
         import time
         _ = self.count()                      # warm compile + memo prime
         t0 = time.time()
@@ -297,6 +301,53 @@ class StreamEngine:
         if any(t != totals[0] for t in totals):
             raise RuntimeError(f"salted dispatches disagree: {totals}")
         return totals[0], dt
+
+    def _half(self) -> "StreamEngine":
+        """View of this engine over the first half of every bucket's rows
+        (separately compiled shapes; used by the slope timing)."""
+        eng = object.__new__(StreamEngine)
+        eng.stream = self.stream
+        eng.arrays = tuple((d[: max(8, d.shape[0] // 2 // 8 * 8)],
+                            s[: max(8, s.shape[0] // 2 // 8 * 8)])
+                           for d, s in self.arrays)
+        eng.spec = self.spec
+        eng.words = self.words
+        eng.n_edges = sum(
+            int(b.row_tasks[: max(8, b.n_dst // 2 // 8 * 8)].sum())
+            for b in self.stream.buckets)
+        return eng
+
+    def timed_slope(self, samples: int = 5):
+        """Marginal device throughput via the two-size slope: time the full
+        and the half-rows stream as single dispatches (min over samples) and
+        divide the task delta by the time delta — cancels the tunnel's
+        ~25 ms fixed dispatch+readback cost. Returns a dict of:
+        edges_per_s (marginal), latency_s (single full dispatch incl.
+        tunnel), times_full/times_half (all samples, seconds)."""
+        import time
+        half = self._half()
+        _ = self.count()
+        _ = half.count()
+
+        def sample(eng, salt):
+            t0 = time.time()
+            _ = np.asarray(eng.partials(salt=salt))
+            return time.time() - t0
+
+        tf, th = [], []
+        for i in range(samples):
+            tf.append(sample(self, 2 * i + 1))
+            th.append(sample(half, 2 * i + 2))
+        dt = min(tf) - min(th)
+        de = self.n_edges - half.n_edges
+        return {
+            "edges_per_s": de / max(dt, 1e-9),
+            "latency_s": min(tf),
+            "times_full": tf,
+            "times_half": th,
+            "tasks_full": self.n_edges,
+            "tasks_half": half.n_edges,
+        }
 
 
 def triangle_count_stream(g, core: int = 4096, **kw) -> int:

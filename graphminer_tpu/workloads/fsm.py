@@ -8,20 +8,23 @@ canonical.h is_min). TPU redesign, per the reference's own GPU structure
 * the pattern-space search runs on the host as BFS growth with canonical
   dedup (core/pattern_graph.py replaces DFS-code minimality — exact for the
   small patterns FSM explores);
-* embedding lists are padded int32 device arrays [n_emb, nv]; the two
-  extension steps (forward: attach labeled neighbor; backward: close a cycle)
-  are batched gather+mask+compact kernels — the same compaction primitive as
-  the frontier engine;
+* embedding lists are DEVICE-RESIDENT padded int32 buffers [cap, nv] with a
+  host-side live count — the analogue of the reference's bounded emb blocks
+  (gpu_base.cu:454-460, emb_block = 640*128). Extension runs as a
+  fori_loop over fixed-size blocks: gather → mask → compact → scatter-append
+  into the child buffer, entirely on device; the host never concatenates
+  embeddings (the round-1/2 host-RAM frontier is gone);
 * MNI support = min over pattern vertices of #distinct image vertices,
-  computed per column with sort+diff on device.
+  computed with a device sort+distinct over the whole resident buffer.
 
 Counted result = number of frequent patterns with 1..k edges (the
 reference's `total`).
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,63 +33,114 @@ import numpy as np
 from ..core.device_graph import DeviceGraph
 from ..core.pattern_graph import PatternGraph
 from ..ops import setops
-from ..types import SENTINEL, round_up
+from ..types import SENTINEL
+
+BLOCK = 8192          # frontier rows per extension step
+MIN_CAP = 1024        # smallest embedding buffer (power-of-4 ladder)
+
+
+@dataclasses.dataclass
+class DevEmb:
+    """Device-resident embedding list: SENTINEL-padded [cap, nv] + count."""
+    buf: jax.Array
+    n: int
+
+    @property
+    def cap(self) -> int:
+        return self.buf.shape[0]
+
+    @property
+    def nv(self) -> int:
+        return self.buf.shape[1]
+
+
+def _cap_for(n: int) -> int:
+    c = MIN_CAP
+    while c < n:
+        c *= 4
+    return c
+
+
+def device_emb(embs: np.ndarray, cap: Optional[int] = None) -> DevEmb:
+    n = embs.shape[0]
+    cap = cap or _cap_for(n)
+    out = np.full((cap, embs.shape[1]), SENTINEL, dtype=np.int32)
+    out[:n] = embs
+    return DevEmb(buf=jnp.asarray(out), n=n)
 
 
 # --------------------------------------------------------------------------
-# device kernels (jitted per (capacity, nv, width) shape class)
+# device kernels
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("width", "label"))
-def _forward_extend_device(dg: DeviceGraph, vlab: jax.Array, embs: jax.Array,
-                           at: int, *, width: int, label: int):
-    """embs [B, nv] (SENTINEL rows = padding) -> candidate new vertices.
+@functools.partial(jax.jit,
+                   static_argnames=("width", "nv", "cap_p", "cap_c"))
+def _forward_extend_dev(dg: DeviceGraph, vlab, buf_p, n_p, at, label, *,
+                        width: int, nv: int, cap_p: int, cap_c: int):
+    """All-block forward extension: attach a `label` neighbor at position
+    `at` of every live embedding. Returns (child buffer [cap_c, nv+1],
+    child count — may exceed cap_c, signalling overflow; extra rows are
+    dropped, caller retries with a bigger cap)."""
+    blk_sz = min(BLOCK, cap_p)
+    n_blocks = max(1, cap_p // blk_sz)
+    init = jnp.full((cap_c, nv + 1), SENTINEL, jnp.int32)
 
-    Returns (flat new-vertex ids [B*W], flat parent row index [B*W], count).
-    A slot is live iff neighbor exists, has `label`, and is not already in
-    the embedding."""
-    b, nv = embs.shape
-    anchors = embs[:, at]
-    rows = dg.gather_rows(anchors, width)                  # [B, W]
-    ok = rows != SENTINEL
-    lab = vlab[jnp.clip(rows, 0, vlab.shape[0] - 1)]
-    ok &= lab == label
-    # vertex-distinct embeddings (subgraph isomorphism)
-    ok &= ~jnp.any(rows[:, :, None] == embs[:, None, :], axis=-1)
-    cand = jnp.where(ok, rows, SENTINEL)
-    # compact
-    flat = cand.reshape(-1)
-    mask = flat != SENTINEL
-    pos = jnp.cumsum(mask) - 1
-    n = jnp.sum(mask)
-    cap = flat.shape[0]
-    tgt = jnp.where(mask, pos, cap)
-    vflat = jnp.full((cap,), SENTINEL, jnp.int32).at[tgt].set(flat, mode="drop")
-    parents = jax.lax.broadcasted_iota(jnp.int32, (b, width), 0).reshape(-1)
-    pflat = jnp.zeros((cap,), jnp.int32).at[tgt].set(parents, mode="drop")
-    return vflat, pflat, n
+    def step(i, carry):
+        buf_c, off = carry
+        blk = jax.lax.dynamic_slice(buf_p, (i * blk_sz, 0), (blk_sz, nv))
+        ridx = i * blk_sz + jax.lax.broadcasted_iota(jnp.int32, (blk_sz, 1),
+                                                     0)[:, 0]
+        live = ridx < n_p
+        anchors = jnp.where(live, jnp.take_along_axis(
+            blk, jnp.full((blk_sz, 1), at, jnp.int32), axis=1)[:, 0],
+            SENTINEL)
+        rows = dg.gather_rows(anchors, width)                 # [blk_sz, W]
+        ok = rows != SENTINEL
+        lab = vlab[jnp.clip(rows, 0, vlab.shape[0] - 1)]
+        ok &= lab == label
+        # vertex-distinct embeddings (subgraph isomorphism)
+        ok &= ~jnp.any(rows[:, :, None] == blk[:, None, :], axis=-1)
+        cand = jnp.where(ok & live[:, None], rows, SENTINEL)
+        flat = cand.reshape(-1)
+        mask = flat != SENTINEL
+        pos = jnp.cumsum(mask) - 1
+        m = jnp.sum(mask, dtype=jnp.int32)
+        parents = jax.lax.broadcasted_iota(
+            jnp.int32, (blk_sz, width), 0).reshape(-1)
+        child = jnp.concatenate([blk[parents], flat[:, None]], axis=1)
+        tgt = jnp.where(mask, off + pos, cap_c)               # drop overflow
+        buf_c = buf_c.at[tgt].set(child, mode="drop")
+        return buf_c, off + m
+
+    buf_c, n_c = jax.lax.fori_loop(0, n_blocks, step, (init, jnp.int32(0)))
+    return buf_c, n_c
 
 
-@functools.partial(jax.jit, static_argnames=("width",))
-def _backward_filter_device(dg: DeviceGraph, embs: jax.Array, p: int, q: int,
-                            *, width: int):
-    """Keep embeddings where graph edge (emb[p], emb[q]) exists.
-    Returns (packed embeddings [B, nv], count)."""
-    b, nv = embs.shape
-    rows = dg.gather_rows(embs[:, p], width)
-    ok = setops.connected(embs[:, q], rows)
-    ok &= embs[:, p] != SENTINEL
+@functools.partial(jax.jit, static_argnames=("width", "nv", "cap"))
+def _backward_filter_dev(dg: DeviceGraph, buf, n, p, q, *, width: int,
+                         nv: int, cap: int):
+    """Keep embeddings where graph edge (emb[p], emb[q]) exists; compacts
+    in place (same capacity). Returns (buffer, count)."""
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+    live = ridx < n
+    vp = jnp.take_along_axis(buf, jnp.full((cap, 1), p, jnp.int32), 1)[:, 0]
+    vq = jnp.take_along_axis(buf, jnp.full((cap, 1), q, jnp.int32), 1)[:, 0]
+    rows = dg.gather_rows(jnp.where(live, vp, SENTINEL), width)
+    ok = setops.connected(vq, rows) & live
     pos = jnp.cumsum(ok) - 1
-    n = jnp.sum(ok)
-    tgt = jnp.where(ok, pos, b)
-    out = jnp.full((b, nv), SENTINEL, jnp.int32).at[tgt].set(embs, mode="drop")
-    return out, n
+    m = jnp.sum(ok, dtype=jnp.int32)
+    tgt = jnp.where(ok, pos, cap)
+    out = jnp.full((cap, nv), SENTINEL, jnp.int32).at[tgt].set(buf,
+                                                               mode="drop")
+    return out, m
 
 
 @jax.jit
-def _mni_support_device(embs: jax.Array):
-    """Min over columns of #distinct values (ignoring SENTINEL padding)."""
-    s = jnp.sort(embs, axis=0)                              # [B, nv]
+def _mni_support_device(buf: jax.Array):
+    """Min over columns of #distinct values (ignoring SENTINEL padding) —
+    the MNI domain support (domain_support.h:6-74) without materialized
+    per-pattern Bitsets: sort+distinct per column on device."""
+    s = jnp.sort(buf, axis=0)
     valid = s != SENTINEL
     first = valid & jnp.concatenate(
         [jnp.ones((1, s.shape[1]), bool), s[1:] != s[:-1]], axis=0)
@@ -94,14 +148,8 @@ def _mni_support_device(embs: jax.Array):
 
 
 # --------------------------------------------------------------------------
-# host-side search
+# host-side search (pattern bookkeeping only — no embedding bytes)
 # --------------------------------------------------------------------------
-
-def _pad_rows(a: np.ndarray, cap: int) -> np.ndarray:
-    out = np.full((cap, a.shape[1]), SENTINEL, dtype=np.int32)
-    out[: a.shape[0]] = a
-    return out
-
 
 class _FSM:
     def __init__(self, g, minsup: int, max_width: Optional[int] = None):
@@ -114,80 +162,60 @@ class _FSM:
         freq = np.bincount(g.vlabels.astype(np.int64))
         self.freq_labels = set(int(l) for l in np.nonzero(freq >= minsup)[0])
 
-    def support(self, embs: np.ndarray) -> int:
-        if embs.shape[0] == 0:
+    def support(self, de: DevEmb) -> int:
+        if de.n == 0:
             return 0
-        cap = max(8, 1 << int(np.ceil(np.log2(embs.shape[0]))))
-        return int(_mni_support_device(jnp.asarray(_pad_rows(embs, cap))))
+        return int(_mni_support_device(de.buf))
 
-    def initial_patterns(self):
+    def initial_patterns(self) -> Dict[str, tuple]:
         """Frequent single-edge patterns (label pairs la <= lb) +
-        embeddings; mirrors omp_base.cc:35-100 incl. frequent-vertex filter."""
+        device embeddings; mirrors omp_base.cc:35-100 incl. the
+        frequent-vertex filter."""
         g = self.g
         src, dst = g.edge_list()
         vl = g.vlabels.astype(np.int32)
         la, lb = vl[src], vl[dst]
         keep = la <= lb  # both directions kept when la == lb
         out = {}
-        for a, b in {(int(x), int(y)) for x, y in
-                     zip(la[keep], lb[keep])}:
+        for a, b in {(int(x), int(y)) for x, y in zip(la[keep], lb[keep])}:
             m = keep & (la == a) & (lb == b)
             embs = np.stack([src[m], dst[m]], axis=1).astype(np.int32)
             pat = PatternGraph((a, b), ((0, 1),))
-            out[pat.canonical_key()] = (pat, embs)
+            out[pat.canonical_key()] = (pat, device_emb(embs))
         return out
 
-    def forward_extend(self, embs: np.ndarray, at: int, label: int,
-                       batch: int = 4096) -> np.ndarray:
-        nv = embs.shape[1]
-        chunks = []
-        for s in range(0, embs.shape[0], batch):
-            e = embs[s:s + batch]
-            cap = max(8, 1 << int(np.ceil(np.log2(e.shape[0]))))
-            ep = jnp.asarray(_pad_rows(e, cap))
-            vflat, pflat, n = _forward_extend_device(
-                self.dg, self.vlab, ep, at, width=self.width, label=label)
+    def forward_extend(self, de: DevEmb, at: int, label: int) -> DevEmb:
+        cap_c = _cap_for(max(de.n, 1))
+        while True:
+            buf, n = _forward_extend_dev(
+                self.dg, self.vlab, de.buf, jnp.int32(de.n),
+                jnp.int32(at), jnp.int32(label), width=self.width,
+                nv=de.nv, cap_p=de.cap, cap_c=cap_c)
             n = int(n)
-            if n == 0:
-                continue
-            v = np.asarray(vflat[:n])
-            p = np.asarray(pflat[:n])
-            chunks.append(np.concatenate([e[p], v[:, None]], axis=1))
-        if not chunks:
-            return np.zeros((0, nv + 1), dtype=np.int32)
-        return np.concatenate(chunks, axis=0)
+            if n <= cap_c:
+                return DevEmb(buf=buf, n=n)
+            cap_c = _cap_for(n)       # overflow: retry with room
 
-    def backward_filter(self, embs: np.ndarray, p: int, q: int,
-                        batch: int = 8192) -> np.ndarray:
-        nv = embs.shape[1]
-        chunks = []
-        for s in range(0, embs.shape[0], batch):
-            e = embs[s:s + batch]
-            cap = max(8, 1 << int(np.ceil(np.log2(e.shape[0]))))
-            ep = jnp.asarray(_pad_rows(e, cap))
-            out, n = _backward_filter_device(self.dg, ep, p, q,
-                                             width=self.width)
-            n = int(n)
-            if n:
-                chunks.append(np.asarray(out[:n]))
-        if not chunks:
-            return np.zeros((0, nv), dtype=np.int32)
-        return np.concatenate(chunks, axis=0)
+    def backward_filter(self, de: DevEmb, p: int, q: int) -> DevEmb:
+        buf, n = _backward_filter_dev(self.dg, de.buf, jnp.int32(de.n),
+                                      jnp.int32(p), jnp.int32(q),
+                                      width=self.width, nv=de.nv, cap=de.cap)
+        return DevEmb(buf=buf, n=int(n))
 
     def run(self, k_edges: int) -> int:
         frontier = {}
         n_frequent = 0
-        for key, (pat, embs) in self.initial_patterns().items():
+        for key, (pat, de) in self.initial_patterns().items():
             if (pat.vlabels[0] in self.freq_labels
                     and pat.vlabels[1] in self.freq_labels
-                    and self.support(embs) >= self.minsup):
-                frontier[key] = (pat, embs)
+                    and self.support(de) >= self.minsup):
+                frontier[key] = (pat, de)
         n_frequent += len(frontier)
         seen = set(frontier.keys())
 
         for level in range(2, k_edges + 1):
             nxt = {}
-            for key, (pat, embs) in frontier.items():
+            for key, (pat, de) in frontier.items():
                 nv = pat.n_vertices
                 # forward: attach a new labeled vertex at any pattern vertex
                 for at in range(nv):
@@ -196,8 +224,8 @@ class _FSM:
                         ck = child.canonical_key()
                         if ck in seen or ck in nxt:
                             continue
-                        ne = self.forward_extend(embs, at, label)
-                        if ne.shape[0] and self.support(ne) >= self.minsup:
+                        ne = self.forward_extend(de, at, label)
+                        if ne.n and self.support(ne) >= self.minsup:
                             nxt[ck] = (child, ne)
                 # backward: close a cycle between non-adjacent vertices
                 for p in range(nv):
@@ -208,8 +236,8 @@ class _FSM:
                         ck = child.canonical_key()
                         if ck in seen or ck in nxt:
                             continue
-                        ne = self.backward_filter(embs, p, q)
-                        if ne.shape[0] and self.support(ne) >= self.minsup:
+                        ne = self.backward_filter(de, p, q)
+                        if ne.n and self.support(ne) >= self.minsup:
                             nxt[ck] = (child, ne)
             seen |= set(nxt.keys())
             n_frequent += len(nxt)

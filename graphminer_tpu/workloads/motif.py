@@ -173,16 +173,23 @@ def motif_generic_count(g, k: int, chunk: int = 2048):
     Returns {PatternGraph: count}. Stars use the Σ C(d, k-1) closed form;
     every other pattern is enumerated non-induced by the frontier engine."""
     from ..core.plan import plan_from_pattern
+    from ..engine.frontier import count_patterns_fused
     pats = _connected_patterns(k)
     star_key = _star_pattern(k).canonical_key()
     noninduced = np.zeros(len(pats), dtype=object)
+    # all non-star patterns run FUSED: shared prep/tasks, one multi-plan
+    # device program per task shape (the automine_5motif fused-counter
+    # economics — src/motif/gpu_kernels/)
+    enum_idx = [i for i, p in enumerate(pats)
+                if p.canonical_key() != star_key]
+    fused = count_patterns_fused(
+        g, [plan_from_pattern(pats[i]) for i in enum_idx], chunk=chunk)
+    for i, c in zip(enum_idx, fused):
+        noninduced[i] = c
     for i, p in enumerate(pats):
         if p.canonical_key() == star_key:
             d = g.degrees().astype(np.int64)
             noninduced[i] = int(_comb(d, k - 1).sum())
-        else:
-            noninduced[i] = count_pattern(g, plan_from_pattern(p),
-                                          chunk=chunk)
     m = _containment_matrix(k)
     # back-substitution from the densest pattern (clique) downward; matrix is
     # upper triangular with 1s on the diagonal in edge-count order

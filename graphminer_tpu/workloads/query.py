@@ -101,20 +101,65 @@ def _pattern_core_numbers(adj: np.ndarray) -> np.ndarray:
     return core
 
 
+def candidate_index_plan(plan, cand_levels, wf: int):
+    """Rewrite adjacency-sourced levels whose filtered candidate list is
+    SMALLER than the adjacency tile they would otherwise build: the level
+    then iterates the global candidate list and PROBES adjacency
+    (source ('cand', i), original source moved into intersect) — the
+    candidate-set-indexed execution of the reference's GQL plan
+    (query_plan.h:10, filter.cc) instead of gather-rows-then-mask.
+
+    cand_levels: {level index: sorted np.ndarray of candidate vertex ids}.
+    Returns (plan', cand_sets for count_pattern)."""
+    import dataclasses as _dc
+    from ..types import SENTINEL, round_up
+    levels = []
+    cand_sets = {}
+    for i, lp in enumerate(plan.levels):
+        idx = i + 2
+        kind, j = lp.source
+        ci = cand_levels.get(idx)
+        if kind == 'adj' and ci is not None and 0 < ci.size < wf:
+            pad = np.full(round_up(max(ci.size, 8), 8), SENTINEL,
+                          dtype=np.int32)
+            pad[: ci.size] = np.sort(ci.astype(np.int32))
+            cand_sets[idx] = pad
+            levels.append(_dc.replace(
+                lp, source=('cand', idx),
+                intersect=tuple(sorted(set((j,) + lp.intersect)))))
+        else:
+            levels.append(lp)
+    return _dc.replace(plan, levels=tuple(levels)), (cand_sets or None)
+
+
 def query_count(g, query: PatternGraph, chunk: int = 2048,
                 use_filter: bool = True) -> int:
     """Number of distinct embeddings (subgraph isomorphisms / |Aut|) of the
-    labeled query in the labeled data graph."""
+    labeled query in the labeled data graph.
+
+    With filtering on, the matching order prefers selective query vertices
+    (small filtered candidate sets) and levels whose candidate set is
+    smaller than their adjacency tile run candidate-set-indexed."""
     assert g.vlabels is not None, "query needs a vertex-labeled data graph"
-    plan = plan_from_pattern(query, name="query", labeled=True)
     cand = None
+    cand_sets = None
     if use_filter:
         cand_q = gql_candidates(g, query)
+        sizes = cand_q.sum(axis=1)
+        plan = plan_from_pattern(query, name="query", labeled=True,
+                                 prefer=sizes)
         if not cand_q.all(axis=1).all():
             # reorder rows to the plan's matching order: cand rows are
             # indexed by plan level (v0, v1, v2, ...), not query-vertex id
             cand = cand_q[np.asarray(plan.order)]
-    return count_pattern(g, plan, chunk=chunk, cand=cand)
+            cand_levels = {i: np.nonzero(cand[i])[0]
+                           for i in range(2, plan.k)}
+            plan, cand_sets = candidate_index_plan(
+                plan, cand_levels, max(8, g.max_degree))
+    else:
+        plan = plan_from_pattern(query, name="query", labeled=True)
+    return count_pattern(g, plan, chunk=chunk, cand=cand,
+                         cand_sets=cand_sets)
 
 
 def make_query(edges: Sequence[Tuple[int, int]], vlabels: Sequence[int]

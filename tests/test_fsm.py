@@ -98,3 +98,21 @@ def test_fsm_citeseer_smoke(citeseer):
     Value recorded as a regression anchor (no published golden)."""
     got = fsm_count(citeseer, 2, 300)
     assert got > 0
+
+
+def test_fsm_device_resident_scale():
+    """Bounded-memory device-resident frontier at rmat scale (the round-2
+    host-RAM concatenation is gone): labeled rmat13, k=2, minsup=300."""
+    import time
+    from graphminer_tpu.io.synth import rmat
+    from graphminer_tpu.workloads.fsm import _FSM
+    g = rmat(13, 8, seed=21)
+    rng = np.random.default_rng(0)
+    g.vlabels = rng.integers(1, 4, g.n_vertices).astype(np.uint8)
+    f = _FSM(g, minsup=300)
+    n = f.run(2)
+    assert n > 0
+    # frontier buffers live on device; the host never holds embeddings
+    import jax
+    assert all(isinstance(de.buf, jax.Array)
+               for _, de in f.initial_patterns().values())

@@ -70,3 +70,35 @@ def test_citeseer_labeled_query():
     q = make_query([(0, 1), (1, 2)], [2, 2, 2])
     assert query_count(g, q, use_filter=True) == \
         query_count(g, q, use_filter=False)
+
+
+def test_candidate_indexed_execution():
+    """Many labels → candidate sets smaller than adjacency tiles → the plan
+    rewrites levels to candidate-set-indexed ('cand' source); counts must be
+    unchanged vs unfiltered and vs oracle."""
+    from graphminer_tpu.workloads.query import candidate_index_plan, \
+        gql_candidates
+    from graphminer_tpu.core.plan import plan_from_pattern
+    g = labeled_er(60, 0.5, n_vlabels=12, seed=3)
+    q = make_query([(0, 1), (1, 2), (2, 3)], [1, 2, 3, 4])
+    # the rewrite must actually trigger on this graph
+    cand_q = gql_candidates(g, q)
+    plan = plan_from_pattern(q, labeled=True, prefer=cand_q.sum(1))
+    cand = cand_q[np.asarray(plan.order)]
+    plan2, cand_sets = candidate_index_plan(
+        plan, {i: np.nonzero(cand[i])[0] for i in range(2, plan.k)},
+        max(8, g.max_degree))
+    assert cand_sets, "expected at least one candidate-indexed level"
+    assert any(lp.source[0] == 'cand' for lp in plan2.levels)
+    want = oracle.count_noninduced(g, list(q.edges), q.n_vertices,
+                                   vlabels=list(q.vlabels))
+    assert query_count(g, q, use_filter=True) == want
+    assert query_count(g, q, use_filter=False) == want
+
+
+def test_candidate_indexed_cycle_query():
+    g = labeled_er(56, 0.5, n_vlabels=8, seed=5)
+    q = make_query([(0, 1), (1, 2), (2, 3), (0, 3)], [1, 2, 1, 3])
+    want = oracle.count_noninduced(g, list(q.edges), q.n_vertices,
+                                   vlabels=list(q.vlabels))
+    assert query_count(g, q, use_filter=True) == want
