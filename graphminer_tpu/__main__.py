@@ -36,6 +36,13 @@ def main(argv=None):
                    help="setops backend: auto | bc | bs")
     p.add_argument("--engine", default=cfg.engine,
                    help="frontier engine: compact | map")
+    p.add_argument("--fast", action="store_true",
+                   help="fast engines: tc=stream, clique4=MXU wedge-Gram, "
+                        "sgl diamond=tri-support")
+    p.add_argument("--partition", type=int, default=0, metavar="N",
+                   help="count over N induced halo partitions (out-of-core)")
+    p.add_argument("--profile", action="store_true",
+                   help="print the phase/counter profiler report")
     p.add_argument("--json", action="store_true", help="machine output")
     ns = p.parse_args(argv)
     cfg.chunk, cfg.backend, cfg.engine = ns.chunk, ns.backend, ns.engine
@@ -58,11 +65,20 @@ def main(argv=None):
                "has_vlabels": g.vlabels is not None}
     elif ns.workload == "tc":
         from .workloads.triangle import triangle_count
-        if ns.sharded:
+        if ns.partition:
+            from .core.plan import TRIANGLE
+            from .parallel.distributed import count_pattern_partitioned
+            out["total"] = count_pattern_partitioned(g, TRIANGLE,
+                                                     ns.partition,
+                                                     chunk=ns.chunk)
+        elif ns.sharded:
             from .core.plan import clique_plan
             from .parallel.mesh import count_pattern_sharded
             out["total"] = count_pattern_sharded(g, clique_plan(3),
                                                  chunk=ns.chunk)
+        elif ns.fast:
+            from .ops.stream import triangle_count_stream
+            out["total"] = triangle_count_stream(g)
         else:
             out["total"] = triangle_count(g, chunk=ns.chunk,
                                           backend=ns.backend,
@@ -70,20 +86,30 @@ def main(argv=None):
     elif ns.workload == "clique":
         from .workloads.clique import clique_count
         k = int(ns.args[0]) if ns.args else 4
-        if ns.sharded:
+        if ns.partition:
+            from .core.plan import clique_plan
+            from .parallel.distributed import count_pattern_partitioned
+            out["total"] = count_pattern_partitioned(g, clique_plan(k),
+                                                     ns.partition,
+                                                     chunk=ns.chunk)
+        elif ns.sharded:
             from .core.plan import clique_plan
             from .parallel.mesh import count_pattern_sharded
             out["total"] = count_pattern_sharded(g, clique_plan(k),
                                                  chunk=ns.chunk)
         else:
             out["total"] = clique_count(g, k, chunk=ns.chunk,
-                                        backend=ns.backend)
+                                        backend=ns.backend, fast=ns.fast)
         out["k"] = k
     elif ns.workload == "sgl":
         from .workloads.sgl import sgl_count
         pattern = ns.args[0] if ns.args else "diamond"
-        out["total"] = sgl_count(g, pattern, chunk=ns.chunk,
-                                 backend=ns.backend)
+        if ns.fast and pattern.lower() == "diamond":
+            from .ops.tri_support import diamond_count_fast
+            out["total"] = diamond_count_fast(g)
+        else:
+            out["total"] = sgl_count(g, pattern, chunk=ns.chunk,
+                                     backend=ns.backend)
         out["pattern"] = pattern
     elif ns.workload == "motif":
         from .workloads.motif import motif_count
@@ -110,6 +136,14 @@ def main(argv=None):
         out.update(k=k, keywords=kws)
     out["load_s"] = round(t_load, 3)
     out["run_s"] = round(time.time() - t0, 3)
+    if ns.profile:
+        from .utils.profiling import PROFILER
+        rep = PROFILER.report()
+        dt = rep["phases_s"].get("device_count", 0.0)
+        ops = rep["counters"].get("set_ops_level2", 0)
+        if dt and ops:
+            rep["set_intersections_per_s"] = ops / dt
+        out["profile"] = rep
 
     if ns.json:
         print(json.dumps(out))

@@ -1,0 +1,115 @@
+"""Pallas TPU kernel for the ring engine's phase C — VMEM-resident core.
+
+The XLA phase-C path (ops/ring.py) pays the row-gather wall (~50-100M
+tasks/s measured) fetching core rows per task. This kernel removes it: the
+2 MB core-bitmap table lives in VMEM for the whole launch (constant-index
+BlockSpec → fetched once), src bitmap rows stream through the normal Pallas
+pipeline, and per-task dst rows are direct VMEM reads at scalar-prefetched
+indices — the TPU analogue of the reference's shared-memory cached
+binary-search intersection (include/set_intersect.cuh:39-105,
+search.cuh:53-79).
+
+Availability: the kernel lowers and passes interpret-mode tests everywhere,
+and compiles on direct-attached TPU runtimes. The axon TUNNEL used by this
+session hangs on remote Mosaic compilation (measured: a trivial pallas_call
+never returns), so RingEngine defaults to use_pallas=False there; pass
+use_pallas=True on real TPU deployments.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import SENTINEL, cdiv
+
+BLK = 256            # src rows per grid step
+
+
+def _kernel(dloc_ref, src_ref, core_ref, out_ref, *, wc: int, words: int):
+    """One grid step: BLK src rows × wc dst slots.
+
+    dloc_ref: scalar-prefetched flat [n * wc] core-local dst ids.
+    src_ref:  [BLK, words] src bitmaps (pipelined VMEM block).
+    core_ref: [C, words] core table (constant block — resident).
+    out_ref:  [1, 1] int32 partial sum for this step."""
+    step = pl.program_id(0)
+    base = step * BLK * wc
+    c = core_ref.shape[0]
+
+    def row_body(r, acc):
+        srow = src_ref[pl.ds(r, 1), :]
+
+        def slot_body(s, a):
+            idx = dloc_ref[base + r * wc + s]
+            ok = (idx >= 0) & (idx < c)
+            row = core_ref[pl.ds(jnp.where(ok, idx, 0), 1), :]
+            pc = jnp.sum(jax.lax.population_count(srow & row),
+                         dtype=jnp.int32)
+            return a + jnp.where(ok, pc, 0)
+
+        return jax.lax.fori_loop(0, wc, slot_body, acc)
+
+    out_ref[0, 0] = jax.lax.fori_loop(0, BLK, row_body, jnp.int32(0))
+
+
+try:  # pallas imports kept local-failure-safe (CPU-only wheels)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+
+def cbucket_partials_pallas(core_bm, src_bm, dst_loc, *, words: int, wc: int,
+                            interpret: bool = False):
+    """Phase-C partial sums [n_steps] int32 via the VMEM-core kernel."""
+    assert HAVE_PALLAS
+    n = src_bm.shape[0]
+    npad = cdiv(n, BLK) * BLK
+    if npad > n:
+        src_bm = jnp.concatenate(
+            [src_bm, jnp.zeros((npad - n, words), jnp.int32)])
+        dst_loc = jnp.concatenate(
+            [dst_loc, jnp.full((npad - n, wc), SENTINEL, jnp.int32)])
+    n_steps = npad // BLK
+    c = core_bm.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((BLK, words), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, words), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda i, s: (i, 0),
+                               memory_space=pltpu.SMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, wc=wc, words=words),
+        out_shape=jax.ShapeDtypeStruct((n_steps, 1), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(dst_loc.reshape(-1), src_bm, core_bm)
+    return out.reshape(-1)
+
+
+def ring_partials(layout, carrays, cspec, tarrays, tspec, salt,
+                  interpret: bool = False):
+    """Drop-in for ring._ring_partials with the Pallas phase-C kernel;
+    phase T stays on the XLA list-compare path."""
+    from . import ring as _ring
+    outs = []
+    for (src_bm, dst_loc), wc in zip(carrays, cspec):
+        outs.append(cbucket_partials_pallas(
+            layout.core_bm, src_bm, dst_loc, words=layout.words, wc=wc,
+            interpret=interpret))
+    for (sr, dr), (wa, wb) in zip(tarrays, tspec):
+        outs.append(_ring._tbucket_partials(sr, dr, wa=wa, wb=wb,
+                                            per_task=False))
+    parts = jnp.concatenate(outs) if outs else jnp.zeros((1,), jnp.int32)
+    return jnp.roll(parts, salt)

@@ -314,10 +314,12 @@ class RingEngine:
         self.tarrays = tuple((b.src_rows, b.dst_rows) for b in lay.tbuckets)
         self.tspec = tuple((b.wa, b.wb) for b in lay.tbuckets)
         self.n_edges = lay.n_tasks
-        if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
-        self.use_pallas = use_pallas
-        if use_pallas:
+        # Pallas phase-C kernel (ops/pallas_ring.py) is explicit opt-in:
+        # it is the fast path on direct-attached TPUs, but remote-tunneled
+        # runtimes (axon) hang on Mosaic compilation — measured, see
+        # pallas_ring.py docstring.
+        self.use_pallas = bool(use_pallas)
+        if self.use_pallas:
             from . import pallas_ring
             self._pallas = pallas_ring
         else:
@@ -333,7 +335,11 @@ class RingEngine:
                               tspec=self.tspec, words=self.layout.words)
 
     def count(self) -> int:
-        return int(np.asarray(self.partials(), dtype=np.int64).sum())
+        from ..utils.profiling import PROFILER
+        PROFILER.count("edge_tasks", self.n_edges)
+        PROFILER.count("set_ops_level2", self.n_edges)  # 1 intersection/task
+        with PROFILER.phase("device_count"):
+            return int(np.asarray(self.partials(), dtype=np.int64).sum())
 
     def timed_count(self, iters: int = 8):
         """(count, seconds/iter) — `iters` salted back-to-back dispatches,

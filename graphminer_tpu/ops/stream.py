@@ -279,8 +279,12 @@ class StreamEngine:
                                 words=self.words)
 
     def count(self) -> int:
-        parts = self.partials()
-        return int(np.asarray(parts, dtype=np.int64).sum())
+        from ..utils.profiling import PROFILER
+        PROFILER.count("edge_tasks", self.n_edges)
+        PROFILER.count("set_ops_level2", self.n_edges)  # 1 intersection/task
+        with PROFILER.phase("device_count"):
+            parts = self.partials()
+            return int(np.asarray(parts, dtype=np.int64).sum())
 
     def timed_count(self, iters: int = 8):
         """(count, seconds/iter) — launches `iters` salted dispatches

@@ -59,19 +59,25 @@ def gks_count(g, k: int, keywords: Sequence[int]) -> int:
     for size in range(2, k + 1):
         if frontier.shape[0] == 0:
             return 0
-        # expand every embedding by neighbors of all its members
-        new_rows = []
-        for emb in frontier:
-            cand = np.unique(np.concatenate([adj(v) for v in emb]))
-            cand = cand[~np.isin(cand, emb)]
-            if cand.size:
-                block = np.empty((cand.size, size), dtype=np.int64)
-                block[:, :-1] = emb
-                block[:, -1] = cand
-                new_rows.append(np.sort(block, axis=1))
-        if not new_rows:
+        # vectorized CSR expansion: every member's neighbors, one flat pass
+        # (the extend_alloc → insert shape; no per-embedding Python loops)
+        n, s = frontier.shape
+        flat = frontier.reshape(-1)
+        d = (rp[flat + 1] - rp[flat]).astype(np.int64)
+        tot = int(d.sum())
+        if tot == 0:
             return 0
-        embs = np.unique(np.concatenate(new_rows, axis=0), axis=0)
+        parent = np.repeat(np.arange(flat.size, dtype=np.int64) // s, d)
+        offs = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(d) - d, d)
+        cand = col[np.repeat(rp[flat], d) + offs].astype(np.int64)
+        keep = ~(frontier[parent] == cand[:, None]).any(axis=1)
+        if not keep.any():
+            return 0
+        block = np.concatenate(
+            [frontier[parent[keep]], cand[keep][:, None]], axis=1)
+        block.sort(axis=1)
+        embs = np.unique(block, axis=0)
         embs = embs[kw_counts_ok(embs, final=False)]
         frontier = embs
 

@@ -54,3 +54,21 @@ def test_ring_salted_partials_same_total():
     t0 = int(np.asarray(eng.partials(0), dtype=np.int64).sum())
     t1 = int(np.asarray(eng.partials(3), dtype=np.int64).sum())
     assert t0 == t1 == eng.count()
+
+
+def test_pallas_ring_interpret_matches():
+    """The Pallas phase-C kernel (VMEM-resident core) must agree with the
+    XLA path — run in interpret mode (the tunnel cannot compile Mosaic)."""
+    import jax.numpy as jnp
+    from graphminer_tpu.ops import pallas_ring
+    if not pallas_ring.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    g = rmat(11, 8, seed=19)
+    eng = RingEngine(g, use_pallas=False)
+    lay = eng.layout
+    want = eng.count()
+    parts = pallas_ring.ring_partials(lay, eng.carrays, eng.cspec,
+                                      eng.tarrays, eng.tspec,
+                                      jnp.int32(0), interpret=True)
+    got = int(np.asarray(parts, dtype=np.int64).sum())
+    assert got == want
