@@ -165,6 +165,24 @@ def main():
         sys.stderr.write(f"clique4 bench failed: {type(e).__name__}: {e}\n")
         extra["clique4_error"] = str(e)[:200]
 
+    # ---- diamond via per-edge tri support (BASELINE config 3 analogue) -----
+    try:
+        import gc
+        from graphminer_tpu.io.synth import rmat
+        from graphminer_tpu.ops.tri_support import diamond_count_fast
+        gc.collect()
+        gu = rmat(SCALE, EDGE_FACTOR, seed=7)     # undirected input
+        t0 = time.time()
+        dia = _retry(lambda: diamond_count_fast(gu), what="diamond")
+        dt = time.time() - t0                     # one-shot incl. compiles
+        extra[f"diamond_count_rmat{SCALE}"] = dia
+        extra["diamond_total_s"] = round(dt, 1)
+        sys.stderr.write(f"diamond rmat{SCALE}: {dia} in {dt:.1f}s "
+                         f"(one-shot incl. compile)\n")
+    except Exception as e:
+        sys.stderr.write(f"diamond bench failed: {type(e).__name__}: {e}\n")
+        extra["diamond_error"] = str(e)[:200]
+
     out.update({
         "metric": f"tc_edges_per_s_rmat{SCALE}",
         "value": edges_per_s,

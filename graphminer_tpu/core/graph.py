@@ -57,9 +57,20 @@ class HostGraph:
                    symmetrize: bool = False, elabels: Optional[np.ndarray] = None,
                    vlabels: Optional[np.ndarray] = None) -> "HostGraph":
         """Build CSR from a COO edge list (dedup + sort). If symmetrize, add
-        both directions and drop self-loops — the canonical undirected input."""
+        both directions and drop self-loops — the canonical undirected input.
+        Native C++/OpenMP path (graphcore.cpp gm_csr_from_coo) when labels
+        don't need to ride along."""
         src = np.asarray(src, dtype=VID_DTYPE)
         dst = np.asarray(dst, dtype=VID_DTYPE)
+        if elabels is None and src.size >= (1 << 22):
+            # native wins ~4x at scale (measured: 10s vs 39s at 16.7M COO);
+            # below ~4M edges numpy's lexsort is already fast enough
+            from .. import native_bridge
+            nat = native_bridge.csr_from_coo(src, dst, n_vertices, symmetrize)
+            if nat is not None:
+                rowptr, colidx = nat
+                return HostGraph(rowptr=rowptr, colidx=colidx,
+                                 vlabels=vlabels)
         if symmetrize:
             keep = src != dst
             src, dst = src[keep], dst[keep]

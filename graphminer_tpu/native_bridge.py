@@ -63,6 +63,11 @@ def get_lib():
                                      i32p, ctypes.c_int, ctypes.c_int,
                                      i32p, i32p]
         lib.gm_num_threads.restype = ctypes.c_int
+        if hasattr(lib, "gm_csr_from_coo"):
+            lib.gm_csr_from_coo.restype = ctypes.c_int64
+            lib.gm_csr_from_coo.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, i32p, i32p, ctypes.c_int,
+                i64p, i32p]
         _lib = lib
         return _lib
 
@@ -112,3 +117,20 @@ def edge_list(rowptr: np.ndarray, colidx: np.ndarray, sym_break: bool,
                          np.ascontiguousarray(colidx, np.int32),
                          int(sym_break), int(ascend), src, dst)
     return src[:n].copy(), dst[:n].copy()
+
+
+def csr_from_coo(src: np.ndarray, dst: np.ndarray, n_vertices: int,
+                 symmetrize: bool):
+    """(rowptr, colidx) sorted+dedup'd CSR from COO, or None (numpy path)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gm_csr_from_coo"):
+        return None
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    dst = np.ascontiguousarray(dst, dtype=np.int32)
+    e = src.shape[0]
+    cap = 2 * e if symmetrize else e
+    rowptr = np.zeros(n_vertices + 1, dtype=np.int64)
+    colidx = np.empty(max(cap, 1), dtype=np.int32)
+    n = lib.gm_csr_from_coo(n_vertices, e, src, dst, int(symmetrize),
+                            rowptr, colidx)
+    return rowptr, colidx[:n].copy()

@@ -355,9 +355,10 @@ class RingEngine:
             raise RuntimeError(f"salted dispatches disagree: {totals}")
         return totals[0], dt
 
-    def _half(self) -> "RingEngine":
-        """First-half-rows view of every bucket (slope timing)."""
-        h = lambda n: max(8, n // 2 // 8 * 8)
+    def _frac(self, denom: int = 8) -> "RingEngine":
+        """First-1/denom-rows view of every bucket (slope timing; the small
+        fraction keeps the time delta well above tunnel jitter)."""
+        h = lambda n: max(8, n // denom // 8 * 8)
         eng = object.__new__(RingEngine)
         eng.layout = self.layout
         eng.carrays = tuple((bm[: h(bm.shape[0])], dl[: h(dl.shape[0])])
@@ -379,7 +380,7 @@ class RingEngine:
         """Marginal device throughput via the full-vs-half two-size slope
         (cancels the ~25 ms tunnel dispatch cost; see stream.timed_slope)."""
         import time
-        half = self._half()
+        half = self._frac(8)
         _ = self.count()
         _ = half.count()
 

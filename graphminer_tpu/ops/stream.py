@@ -306,30 +306,31 @@ class StreamEngine:
             raise RuntimeError(f"salted dispatches disagree: {totals}")
         return totals[0], dt
 
-    def _half(self) -> "StreamEngine":
-        """View of this engine over the first half of every bucket's rows
-        (separately compiled shapes; used by the slope timing)."""
+    def _frac(self, denom: int = 8) -> "StreamEngine":
+        """View of this engine over the first 1/denom of every bucket's
+        rows (separately compiled shapes; used by the slope timing — a small
+        fraction keeps the full-vs-frac time delta well above the tunnel's
+        few-ms jitter)."""
+        h = lambda n: max(8, n // denom // 8 * 8)
         eng = object.__new__(StreamEngine)
         eng.stream = self.stream
-        eng.arrays = tuple((d[: max(8, d.shape[0] // 2 // 8 * 8)],
-                            s[: max(8, s.shape[0] // 2 // 8 * 8)])
+        eng.arrays = tuple((d[: h(d.shape[0])], s[: h(s.shape[0])])
                            for d, s in self.arrays)
         eng.spec = self.spec
         eng.words = self.words
-        eng.n_edges = sum(
-            int(b.row_tasks[: max(8, b.n_dst // 2 // 8 * 8)].sum())
-            for b in self.stream.buckets)
+        eng.n_edges = sum(int(b.row_tasks[: h(b.n_dst)].sum())
+                          for b in self.stream.buckets)
         return eng
 
-    def timed_slope(self, samples: int = 5):
+    def timed_slope(self, samples: int = 7):
         """Marginal device throughput via the two-size slope: time the full
-        and the half-rows stream as single dispatches (min over samples) and
+        and the 1/8-rows stream as single dispatches (min over samples) and
         divide the task delta by the time delta — cancels the tunnel's
         ~25 ms fixed dispatch+readback cost. Returns a dict of:
         edges_per_s (marginal), latency_s (single full dispatch incl.
         tunnel), times_full/times_half (all samples, seconds)."""
         import time
-        half = self._half()
+        half = self._frac(8)
         _ = self.count()
         _ = half.count()
 

@@ -146,6 +146,60 @@ i64 gm_edge_list(i64 V, i64 E, const i64* rowptr, const i32* colidx,
   return offs[V];
 }
 
+// Build a sorted, dedup'd CSR from a COO edge list — the counterpart of the
+// reference's graph converter (src/common/graph.cc:4-124 ingestion side).
+// symmetrize != 0 adds both directions and drops self loops. out_colidx
+// needs capacity E (or 2E when symmetrize). Returns the final edge count.
+i64 gm_csr_from_coo(i64 V, i64 E, const i32* src, const i32* dst,
+                    int symmetrize, i64* out_rowptr, i32* out_colidx) {
+  std::vector<i64> counts(V, 0);
+#pragma omp parallel for schedule(static)
+  for (i64 e = 0; e < E; ++e) {
+    i32 u = src[e], v = dst[e];
+    if (symmetrize && u == v) continue;
+#pragma omp atomic
+    ++counts[u];
+    if (symmetrize) {
+#pragma omp atomic
+      ++counts[v];
+    }
+  }
+  std::vector<i64> offs(V + 1);
+  prefix_sum(counts.data(), V, offs.data());
+  std::vector<i64> cursor(offs.begin(), offs.end() - 1);
+  const i64 cap = offs[V];
+  std::vector<i32> tmp(cap);
+#pragma omp parallel for schedule(static)
+  for (i64 e = 0; e < E; ++e) {
+    i32 u = src[e], v = dst[e];
+    if (symmetrize && u == v) continue;
+    i64 o;
+#pragma omp atomic capture
+    o = cursor[u]++;
+    tmp[o] = v;
+    if (symmetrize) {
+#pragma omp atomic capture
+      o = cursor[v]++;
+      tmp[o] = u;
+    }
+  }
+  // per-row sort + dedup, then compact
+  std::vector<i64> newlen(V);
+#pragma omp parallel for schedule(dynamic, 1024)
+  for (i64 u = 0; u < V; ++u) {
+    i32* b = tmp.data() + offs[u];
+    i32* e = tmp.data() + offs[u + 1];
+    std::sort(b, e);
+    newlen[u] = std::unique(b, e) - b;
+  }
+  prefix_sum(newlen.data(), V, out_rowptr);
+#pragma omp parallel for schedule(dynamic, 1024)
+  for (i64 u = 0; u < V; ++u)
+    std::memcpy(out_colidx + out_rowptr[u], tmp.data() + offs[u],
+                newlen[u] * sizeof(i32));
+  return out_rowptr[V];
+}
+
 // Per-vertex degree histogram utility (scheduler work estimates).
 void gm_degrees(i64 V, const i64* rowptr, i32* deg) {
 #pragma omp parallel for schedule(static)

@@ -57,3 +57,29 @@ def test_from_edges_roundtrip(tmp_path):
     g2 = load_graph(prefix)
     assert np.array_equal(g2.rowptr, g.rowptr)
     assert np.array_equal(g2.colidx, g.colidx)
+
+
+def test_native_csr_from_coo_matches_numpy():
+    """gm_csr_from_coo (native/graphcore.cpp) is bit-identical to the numpy
+    from_edges path (sort + dedup + symmetrize semantics)."""
+    import numpy as np
+    from graphminer_tpu import native_bridge as nb
+    if nb.get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    n, e = 500, 4000
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    rowptr, colidx = nb.csr_from_coo(src, dst, n, symmetrize=True)
+    from graphminer_tpu.core.graph import HostGraph
+    import os
+    os.environ["GRAPHMINER_NO_NATIVE"] = "1"
+    nb._lib = None; nb._tried = False
+    try:
+        want = HostGraph.from_edges(src, dst, n, symmetrize=True)
+    finally:
+        del os.environ["GRAPHMINER_NO_NATIVE"]
+        nb._tried = False
+    assert np.array_equal(rowptr, want.rowptr)
+    assert np.array_equal(colidx, want.colidx)
