@@ -142,6 +142,10 @@ def main():
     except Exception as e:  # ring metric is additive; never sink the bench
         sys.stderr.write(f"ring bench failed: {type(e).__name__}: {e}\n")
         extra["ring_error"] = str(e)[:200]
+    finally:
+        import gc
+        ring = ring18 = gr = None   # drop device buffers before next section
+        gc.collect()
 
     # ---- 4-clique: MXU wedge-Gram engine (BASELINE config 2 metric) --------
     try:
@@ -164,6 +168,10 @@ def main():
     except Exception as e:
         sys.stderr.write(f"clique4 bench failed: {type(e).__name__}: {e}\n")
         extra["clique4_error"] = str(e)[:200]
+    finally:
+        import gc
+        c4 = None
+        gc.collect()
 
     # ---- diamond via per-edge tri support (BASELINE config 3 analogue) -----
     try:

@@ -98,18 +98,23 @@ def cbucket_partials_pallas(core_bm, src_bm, dst_loc, *, words: int, wc: int,
     return out.reshape(-1)
 
 
-def ring_partials(layout, carrays, cspec, tarrays, tspec, salt,
+def ring_partials(layout, carrays, cspec, tslot_arrays, tspec, salt,
                   interpret: bool = False):
     """Drop-in for ring._ring_partials with the Pallas phase-C kernel;
-    phase T stays on the XLA list-compare path."""
+    phase T stays on the XLA bitmap + tail-table path."""
     from . import ring as _ring
     outs = []
     for (src_bm, dst_loc), wc in zip(carrays, cspec):
         outs.append(cbucket_partials_pallas(
             layout.core_bm, src_bm, dst_loc, words=layout.words, wc=wc,
             interpret=interpret))
-    for (sr, dr), (wa, wb) in zip(tarrays, tspec):
-        outs.append(_ring._tbucket_partials(sr, dr, wa=wa, wb=wb,
-                                            per_task=False))
+    if layout.t_src is not None:
+        outs.append(_ring._bm_pairs_partials(
+            layout.bm_table, layout.t_src, layout.t_dst,
+            words=layout.words))
+        for (sa, sb), (ia, iv) in zip(tslot_arrays, tspec):
+            outs.append(_ring._tail_pairs_partials(
+                layout.tail_tables[ia], layout.tail_tables[iv], sa, sb,
+                per_task=False))
     parts = jnp.concatenate(outs) if outs else jnp.zeros((1,), jnp.int32)
     return jnp.roll(parts, salt)

@@ -16,13 +16,14 @@ graphs fit a single chip:
   (include/set_intersect.cuh:39-105, search.cuh:53-79) — the shared-memory
   cache becomes the VMEM-resident core table.
 
-* Phase T — tasks whose dst is OUTSIDE the core: both endpoints are sub-core
-  (low out-degree), so |N+(u) ∩ N+(v)| is a short sorted-LIST intersection.
-  Per task the src's out-list is materialized at its true width class; the
-  dst's out-list likewise. Broadcast-compare costs wa·wb per task — tracked
-  to the real degrees by the (wa, wb) bucket classes, never max_degree.
-  Parity: the merge intersection of VertexSet.h:265-289 as a batched
-  vector op.
+* Phase T — tasks whose dst is OUTSIDE the core (both endpoints sub-core).
+  |N+(u) ∩ N+(v)| = popcount(CB[u] & CB[v]) + |T[u] ∩ T[v]| over the hub
+  row encoding: the bitmap part fused-gathers two rows per task from the
+  O(V·words) bitmap table; the tail part gathers each side's SHORT tail
+  from per-class tail tables (every vertex's tail stored ONCE at its own
+  width class — memory O(E), never O(Σ tail²) like per-task list
+  materialization would be). Parity: the merge intersection of
+  VertexSet.h:265-289 as batched vector ops.
 
 Both phases run in ONE fused dispatch returning int32 partial sums (or
 per-task counts for workloads that need them, e.g. diamond's Σ C(tri_e, 2)).
@@ -77,31 +78,43 @@ class CBucket:
 
 @dataclasses.dataclass(frozen=True)
 class TBucket:
-    """Phase-T bucket: tasks with src out-class wa, dst out-class wb."""
-    wa: int
-    wb: int
-    src_rows: jax.Array  # int32 [n, wa] sorted out-lists, SENTINEL padded
-    dst_rows: jax.Array  # int32 [n, wb]
+    """Phase-T tail-compare bucket: tasks where BOTH endpoints have
+    non-empty tails, keyed by their tail-width classes. Carries only row
+    slots into the per-class tail tables."""
+    ta: int              # tail-table index for src side
+    tv: int              # tail-table index for dst side
+    src_slot: jax.Array  # int32 [n] row in tail_tables[ta], SENTINEL padded
+    dst_slot: jax.Array  # int32 [n] row in tail_tables[tv]
     n_tasks: int
 
 
 @dataclasses.dataclass(frozen=True)
 class RingLayout:
     core_bm: jax.Array   # int32 [C, words] core rows' bitmaps (closed core)
+    bm_table: Optional[jax.Array]  # int32 [V, words] all-vertex core bitmaps
+    tail_tables: Tuple[jax.Array, ...]  # per-class [n_k, wt_k] sorted tails
     words: int
     core_start: int
     core_size: int
     cbuckets: Tuple[CBucket, ...]
     tbuckets: Tuple[TBucket, ...]
+    t_src: Optional[jax.Array]   # int32 [nt] tail-task src ids (bm pass)
+    t_dst: Optional[jax.Array]   # int32 [nt] tail-task dst ids
     n_tasks: int         # total oriented edges
     n_core_tasks: int
 
     def nbytes(self) -> int:
         n = self.core_bm.size
+        if self.bm_table is not None:
+            n += self.bm_table.size
+        for t in self.tail_tables:
+            n += t.size
         for b in self.cbuckets:
             n += b.src_bm.size + b.dst_loc.size
         for b in self.tbuckets:
-            n += b.src_rows.size + b.dst_rows.size
+            n += b.src_slot.size + b.dst_slot.size
+        if self.t_src is not None:
+            n += self.t_src.size + self.t_dst.size
         return n * 4
 
 
@@ -166,30 +179,72 @@ def build_ring(g, core: int = CORE, c_classes=C_CLASSES,
                                 dst_loc=jnp.asarray(dl),
                                 n_tasks=int(ln.sum()), row_tasks=rt))
 
-    # ---- phase T: sub-core-dst tasks as (src list, dst list) pairs ---------
+    # ---- phase T: sub-core-dst tasks --------------------------------------
+    # |N+(u) ∩ N+(v)| = popcount(CB[u] & CB[v]) + |T[u] ∩ T[v]|. The bitmap
+    # part fused-gathers from bm_table [V, words]; the tail part gathers each
+    # side's short tail from per-class tables (each tail stored ONCE).
     tsrc = src[~in_core].astype(np.int64)
     tdst = col[~in_core].astype(np.int64)
     tbuckets = []
+    tail_tables = []
+    bm_table = None
+    t_src_d = t_dst_d = None
     if tsrc.size:
-        t_classes = _cover(t_classes,
-                           int(max(deg[tsrc].max(), deg[tdst].max())))
-        wa = _class_of(deg[tsrc], t_classes)
-        wb = _class_of(deg[tdst], t_classes)
-        key = wa.astype(np.int64) * 65536 + wb
-        order = np.lexsort((tdst, key))
-        tsrc, tdst, key = tsrc[order], tdst[order], key[order]
-        change = np.nonzero(np.diff(key))[0] + 1
-        bstarts = np.concatenate([[0], change])
-        bstops = np.concatenate([change, [key.shape[0]]])
-        rowptr, colidx = rg.rowptr, rg.colidx
-        for b, e in zip(bstarts, bstops):
-            ka, kb = int(key[b] // 65536), int(key[b] % 65536)
-            n_d = int(e - b)
-            n_pad = round_up(n_d, 8)
-            sr = _gather_lists(rowptr, colidx, tsrc[b:e], ka, n_pad)
-            dr = _gather_lists(rowptr, colidx, tdst[b:e], kb, n_pad)
-            tbuckets.append(TBucket(wa=ka, wb=kb, src_rows=jnp.asarray(sr),
-                                    dst_rows=jnp.asarray(dr), n_tasks=n_d))
+        # all-vertex core bitmaps (sub-core rows only are ever gathered, but
+        # a single [V, words] table keeps indices direct)
+        bm = np.zeros((v, words), dtype=np.uint32)
+        np.bitwise_or.at(bm, (core_src, core_cols >> 5),
+                         np.uint32(1) << (core_cols & 31).astype(np.uint32))
+        bm_table = jnp.asarray(bm.view(np.int32))
+        npad_t = round_up(tsrc.shape[0], 8)
+        ts = np.full(npad_t, SENTINEL, np.int32)
+        td = np.full(npad_t, SENTINEL, np.int32)
+        ts[: tsrc.shape[0]] = tsrc
+        td[: tdst.shape[0]] = tdst
+        t_src_d, t_dst_d = jnp.asarray(ts), jnp.asarray(td)
+
+        # tails: out-neighbors below cs = sorted row prefix, per vertex
+        tw = np.bincount(src[~in_core], minlength=v).astype(np.int64)
+        has = np.nonzero(tw)[0]
+        classes = _cover(t_classes, int(tw[has].max())) if has.size else ()
+        cls_idx = np.full(v, -1, dtype=np.int64)
+        slot = np.full(v, -1, dtype=np.int64)
+        widths = []
+        for ki, k in enumerate(classes):
+            mem = has[(_class_of(tw[has], classes) == k)]
+            if mem.size == 0:
+                widths.append(0)
+                tail_tables.append(jnp.zeros((1, int(k)), jnp.int32))
+                continue
+            widths.append(int(k))
+            cls_idx[mem] = ki
+            slot[mem] = np.arange(mem.size)
+            rows = _gather_lists(rg.rowptr, rg.colidx, mem, int(k),
+                                 round_up(mem.size, 8))
+            rows = np.where((rows != SENTINEL) & (rows < cs), rows, SENTINEL)
+            tail_tables.append(jnp.asarray(rows))
+        # tail-compare buckets: both sides with non-empty tails
+        both = (tw[tsrc] > 0) & (tw[tdst] > 0)
+        bs, bd = tsrc[both], tdst[both]
+        if bs.size:
+            key = cls_idx[bs] * 64 + cls_idx[bd]
+            order = np.argsort(key, kind="stable")
+            bs, bd, key = bs[order], bd[order], key[order]
+            change = np.nonzero(np.diff(key))[0] + 1
+            b0 = np.concatenate([[0], change])
+            b1 = np.concatenate([change, [key.shape[0]]])
+            for b, e in zip(b0, b1):
+                ia, iv = int(key[b] // 64), int(key[b] % 64)
+                n_d = int(e - b)
+                n_pad = round_up(n_d, 8)
+                sl_a = np.full(n_pad, SENTINEL, np.int32)
+                sl_v = np.full(n_pad, SENTINEL, np.int32)
+                sl_a[:n_d] = slot[bs[b:e]]
+                sl_v[:n_d] = slot[bd[b:e]]
+                tbuckets.append(TBucket(ta=ia, tv=iv,
+                                        src_slot=jnp.asarray(sl_a),
+                                        dst_slot=jnp.asarray(sl_v),
+                                        n_tasks=n_d))
 
     core_rows = np.arange(cs, v, dtype=np.int64)
     cb_rank = np.zeros(c, dtype=np.int64)
@@ -208,8 +263,10 @@ def build_ring(g, core: int = CORE, c_classes=C_CLASSES,
                          np.uint32(1) << (ccl & 31).astype(np.uint32))
 
     return RingLayout(core_bm=jnp.asarray(core_bm.view(np.int32)),
+                      bm_table=bm_table, tail_tables=tuple(tail_tables),
                       words=words, core_start=cs, core_size=c,
                       cbuckets=tuple(cbuckets), tbuckets=tuple(tbuckets),
+                      t_src=t_src_d, t_dst=t_dst_d,
                       n_tasks=int(col.shape[0]), n_core_tasks=n_core_tasks)
 
 
@@ -260,42 +317,78 @@ def _cbucket_partials(core_bm, src_bm, dst_loc, *, words: int, wc: int,
     return jax.lax.map(body, (sb, dl))
 
 
-def _tbucket_partials(src_rows, dst_rows, *, wa: int, wb: int,
-                      per_task: bool):
-    """|list_a ∩ list_b| per task via broadcast compare."""
-    n = src_rows.shape[0]
-    chunk = max(8, TASK_BLOCK // max(wa * wb // 4, 8))
+def _bm_pairs_partials(bm_table, src, dst, *, words: int):
+    """popcount(CB[u] & CB[v]) summed over flat tail tasks (fused gathers)."""
+    v = bm_table.shape[0]
+    n = src.shape[0]
+    chunk = max(8, min(TASK_BLOCK, (64 << 20) // (2 * words * 4)))
     n_chunks = cdiv(n, chunk)
     pad = n_chunks * chunk - n
     if pad:
-        z = jnp.full((pad, wa), SENTINEL, jnp.int32)
-        src_rows = jnp.concatenate([src_rows, z])
-        dst_rows = jnp.concatenate(
-            [dst_rows, jnp.full((pad, wb), SENTINEL, jnp.int32)])
-    sa = src_rows.reshape(n_chunks, chunk, wa)
-    sb = dst_rows.reshape(n_chunks, chunk, wb)
+        src = jnp.concatenate([src, jnp.full((pad,), SENTINEL, jnp.int32)])
+        dst = jnp.concatenate([dst, jnp.full((pad,), SENTINEL, jnp.int32)])
+    ss = src.reshape(n_chunks, chunk)
+    dd = dst.reshape(n_chunks, chunk)
 
     def body(xs):
-        a, b = xs
-        m = (a[:, :, None] == b[:, None, :]) & (a != SENTINEL)[:, :, None]
+        u, w = xs
+        oku = (u >= 0) & (u < v)
+        okw = (w >= 0) & (w < v)
+        a = jnp.where(oku[:, None], bm_table[jnp.where(oku, u, 0)], 0)
+        b = jnp.where(okw[:, None], bm_table[jnp.where(okw, w, 0)], 0)
+        return jnp.sum(jax.lax.population_count(a & b), dtype=jnp.int32)
+
+    return jax.lax.map(body, (ss, dd))
+
+
+def _tail_pairs_partials(table_a, table_b, sa, sb, *, per_task: bool):
+    """|T[u] ∩ T[v]| per task via per-class tail-table gathers + compare."""
+    wa, wb = table_a.shape[1], table_b.shape[1]
+    n = sa.shape[0]
+    chunk = max(8, min(TASK_BLOCK // max(wa * wb // 8, 8),
+                       (64 << 20) // ((wa + wb) * 4)))
+    n_chunks = cdiv(n, chunk)
+    pad = n_chunks * chunk - n
+    if pad:
+        sa = jnp.concatenate([sa, jnp.full((pad,), SENTINEL, jnp.int32)])
+        sb = jnp.concatenate([sb, jnp.full((pad,), SENTINEL, jnp.int32)])
+    aa = sa.reshape(n_chunks, chunk)
+    bb = sb.reshape(n_chunks, chunk)
+    na, nb = table_a.shape[0], table_b.shape[0]
+
+    def body(xs):
+        ia, ib = xs
+        oka = (ia >= 0) & (ia < na)
+        okb = (ib >= 0) & (ib < nb)
+        ra = jnp.where(oka[:, None], table_a[jnp.where(oka, ia, 0)],
+                       SENTINEL)
+        rb = jnp.where(okb[:, None], table_b[jnp.where(okb, ib, 0)],
+                       SENTINEL)
+        m = (ra[:, :, None] == rb[:, None, :]) & (ra != SENTINEL)[:, :, None]
         if per_task:
-            return jnp.sum(m, axis=(1, 2), dtype=jnp.int32)  # [chunk]
+            return jnp.sum(m, axis=(1, 2), dtype=jnp.int32)
         return jnp.sum(m, dtype=jnp.int32)
 
-    return jax.lax.map(body, (sa, sb))
+    return jax.lax.map(body, (aa, bb))
 
 
-@functools.partial(jax.jit, static_argnames=("cspec", "tspec", "words"))
-def _ring_partials(core_bm, carrays, tarrays, salt, *, cspec, tspec,
-                   words: int):
+@functools.partial(jax.jit,
+                   static_argnames=("cspec", "tspec", "words", "has_t"))
+def _ring_partials(core_bm, carrays, bm_table, t_src, t_dst, tail_tables,
+                   tslot_arrays, salt, *, cspec, tspec, words: int,
+                   has_t: bool):
     """ONE dispatch over all buckets → concatenated int32 partial sums.
     salt permutes the output order only (benchmark dispatch distinctness)."""
     outs = []
     for (src_bm, dst_loc), wc in zip(carrays, cspec):
         outs.append(_cbucket_partials(core_bm, src_bm, dst_loc, words=words,
                                       wc=wc, per_task=False))
-    for (sr, dr), (wa, wb) in zip(tarrays, tspec):
-        outs.append(_tbucket_partials(sr, dr, wa=wa, wb=wb, per_task=False))
+    if has_t:
+        outs.append(_bm_pairs_partials(bm_table, t_src, t_dst, words=words))
+        for (sa, sb), (ia, iv) in zip(tslot_arrays, tspec):
+            outs.append(_tail_pairs_partials(tail_tables[ia],
+                                             tail_tables[iv], sa, sb,
+                                             per_task=False))
     parts = jnp.concatenate(outs) if outs else jnp.zeros((1,), jnp.int32)
     return jnp.roll(parts, salt)
 
@@ -311,8 +404,9 @@ class RingEngine:
         lay = self.layout
         self.carrays = tuple((b.src_bm, b.dst_loc) for b in lay.cbuckets)
         self.cspec = tuple(b.wc for b in lay.cbuckets)
-        self.tarrays = tuple((b.src_rows, b.dst_rows) for b in lay.tbuckets)
-        self.tspec = tuple((b.wa, b.wb) for b in lay.tbuckets)
+        self.tslot_arrays = tuple((b.src_slot, b.dst_slot)
+                                  for b in lay.tbuckets)
+        self.tspec = tuple((b.ta, b.tv) for b in lay.tbuckets)
         self.n_edges = lay.n_tasks
         # Pallas phase-C kernel (ops/pallas_ring.py) is explicit opt-in:
         # it is the fast path on direct-attached TPUs, but remote-tunneled
@@ -326,13 +420,20 @@ class RingEngine:
             self._pallas = None
 
     def partials(self, salt: int = 0):
+        lay = self.layout
         if self._pallas is not None:
             return self._pallas.ring_partials(
-                self.layout, self.carrays, self.cspec, self.tarrays,
-                self.tspec, jnp.int32(salt))
-        return _ring_partials(self.layout.core_bm, self.carrays, self.tarrays,
+                lay, self.carrays, self.cspec, self.tslot_arrays, self.tspec,
+                jnp.int32(salt))
+        bm = lay.bm_table if lay.bm_table is not None else lay.core_bm
+        ts = lay.t_src if lay.t_src is not None else \
+            jnp.full((8,), SENTINEL, jnp.int32)
+        td = lay.t_dst if lay.t_dst is not None else ts
+        return _ring_partials(lay.core_bm, self.carrays, bm, ts, td,
+                              lay.tail_tables, self.tslot_arrays,
                               jnp.int32(salt), cspec=self.cspec,
-                              tspec=self.tspec, words=self.layout.words)
+                              tspec=self.tspec, words=lay.words,
+                              has_t=lay.t_src is not None)
 
     def count(self) -> int:
         from ..utils.profiling import PROFILER
@@ -364,16 +465,22 @@ class RingEngine:
         eng.carrays = tuple((bm[: h(bm.shape[0])], dl[: h(dl.shape[0])])
                             for bm, dl in self.carrays)
         eng.cspec = self.cspec
-        eng.tarrays = tuple((sr[: h(sr.shape[0])], dr[: h(dr.shape[0])])
-                            for sr, dr in self.tarrays)
+        lay = self.layout
+        nt = lay.t_src.shape[0] if lay.t_src is not None else 0
+        eng.layout = dataclasses.replace(
+            lay,
+            t_src=lay.t_src[: h(nt)] if nt else lay.t_src,
+            t_dst=lay.t_dst[: h(nt)] if nt else lay.t_dst)
+        eng.tslot_arrays = tuple((sa[: h(sa.shape[0])],
+                                  sb[: h(sb.shape[0])])
+                                 for sa, sb in self.tslot_arrays)
         eng.tspec = self.tspec
         eng._pallas = self._pallas
         eng.use_pallas = self.use_pallas
+        n_t_half = min(h(nt), lay.n_tasks - lay.n_core_tasks) if nt else 0
         eng.n_edges = (
             sum(int(b.row_tasks[: h(b.row_tasks.shape[0])].sum())
-                for b in self.layout.cbuckets)
-            + sum(min(b.n_tasks, h(b.src_rows.shape[0]))
-                  for b in self.layout.tbuckets))
+                for b in self.layout.cbuckets) + n_t_half)
         return eng
 
     def timed_slope(self, samples: int = 5):
