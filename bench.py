@@ -64,8 +64,10 @@ def _dag(scale: int):
 
 
 def main():
+    from graphminer_tpu.io.cache import enable_compile_cache
     from graphminer_tpu.ops.stream import StreamEngine
 
+    enable_compile_cache()    # persistent XLA executables across bench runs
     out = {}
     t0 = time.time()
     g = _dag(SCALE)

@@ -50,6 +50,8 @@ def main(argv=None):
     import jax
     if ns.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from .io.cache import enable_compile_cache
+    enable_compile_cache()    # persistent XLA executables across CLI runs
 
     from . import load_graph
 

@@ -9,15 +9,13 @@ ids; see ops/hubcore.py), every DAG edge (u, v) falls in one of two worlds:
 
 * dst v IN the core → N+(v) ⊆ core (closure) → W(u,v) ⊆ core entirely.
   #4-cliques anchored at (u,v) = #core edges inside W = x_Wᵀ B x_W, where
-  x_W = bits(CB[u] & CB[v]) and B = the [C, C] core adjacency bits. Summed
-  over edges:
-
-      Σ_e x_Wᵀ B x_W  =  sum( (Σ_e x_W x_Wᵀ) ⊙ B )  =  sum(GRAM ⊙ B)
-
-  — ONE accumulated MXU Gram over per-edge wedge bitmaps (slab loop, exact:
-  0/1 bf16 operands, per-slab f32 counts < 2^24, int32 accumulation), then
-  an elementwise mask by B and a host int64 reduction. No per-wedge work,
-  no gathers in the hot loop beyond one row pair per edge.
+  x_W = bits(CB[u] & CB[v]) and B = the [C, C] core adjacency bits.
+  Evaluated per slab of edges as sum((X @ B) ⊙ X) on the MXU with B
+  bf16-resident (32 MB): identical MACs to the accumulated-Gram form
+  (Σ_e x x ᵀ then ⊙ B) but the per-slab output is [slab] instead of a
+  [C, C] int32 accumulator, whose HBM read+write per slab dominated the
+  Gram variant. Exact: 0/1 bf16 operands, f32 MXU accumulation, all
+  intermediate integers < 2^25.
 
 * dst v OUTSIDE the core → u, v both sub-core (low out-degree) → the
   generic bucketed frontier engine runs clique_plan(4) on exactly those
@@ -41,42 +39,54 @@ CORE = 4096
 SLAB = 2048
 
 
-@functools.partial(jax.jit, static_argnames=("words", "slab"))
-def _wedge_gram(table, src, dst, *, words: int, slab: int):
-    """GRAM = Σ_e x_W x_Wᵀ over W = CB[src] & CB[dst] → int32 [cpad, cpad].
+@functools.partial(jax.jit, static_argnames=("words", "c"))
+def _core_adj_bf16(table, *, words: int, c: int):
+    """B: [cpad, cpad] bf16 core adjacency bits (rows ≥ c are zero).
+    32 MB at C=4096 — built once, resident across the slab loop."""
+    v = table.shape[0]
+    cpad = words * 32
+    bbits = _expand_bits(table[v - c:, :words], cpad)     # [c, cpad] bf16
+    return jnp.concatenate(
+        [bbits, jnp.zeros((cpad - c, cpad), jnp.bfloat16)]) if cpad > c \
+        else bbits
 
-    src/dst: [n] padded with SENTINEL (invalid tasks contribute zero rows).
-    Rows gathered once per edge (fused), AND'd, bit-expanded to bf16, and
-    accumulated through the MXU slab by slab."""
+
+@functools.partial(jax.jit, static_argnames=("words", "slab"))
+def _wedge_bilinear(table, bexp, src, dst, *, words: int, slab: int):
+    """Σ_e x_Wᵀ B x_W slab by slab as sum((x @ B) ⊙ x) → int32 [n_slabs, 2]
+    (per-slab lo/hi 16-bit partial sums; host total = hi·2¹⁶ + lo in int64).
+
+    Same MXU MACs as the Gram formulation but the per-slab output is [slab]
+    instead of a [cpad, cpad] int32 accumulator — measured 0.39M → >20M
+    edges/s on rmat18 (the Gram variant was HBM-bound on the 64 MB
+    accumulator read+write per slab).
+
+    Exactness: y = x @ B entries ≤ |W| ≤ cpad < 2²⁴ (f32 MXU accumulation
+    exact); per-edge Σ_j x_j·y_j ≤ cpad² < 2²⁵ accumulated in f32 over ≤
+    cpad terms each < 2¹³ — partial sums < 2²⁵, f32-exact."""
     v = table.shape[0]
     cpad = words * 32
     n = src.shape[0]
     n_slabs = cdiv(n, slab)
+    ss = src.reshape(n_slabs, slab)
+    dd = dst.reshape(n_slabs, slab)
 
-    def body(i, gram):
-        s = jax.lax.dynamic_slice(src, (i * slab,), (slab,))
-        d = jax.lax.dynamic_slice(dst, (i * slab,), (slab,))
+    def body(xs):
+        s, d = xs
         ok = (s >= 0) & (s < v) & (d >= 0) & (d < v)
         ru = table[jnp.where(ok, s, 0), :words]
         rv = table[jnp.where(ok, d, 0), :words]
         w = jnp.where(ok[:, None], ru & rv, 0)
         x = _expand_bits(w, cpad)                       # [slab, cpad] bf16
-        g = jax.lax.dot_general(x, x, (((0,), (0,)), ((), ())),
+        y = jax.lax.dot_general(x, bexp, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        return gram + g.astype(jnp.int32)
+        per_edge = jnp.sum(x.astype(jnp.float32) * y,
+                           axis=1).astype(jnp.int32)    # < 2^25, exact
+        lo = jnp.sum(per_edge & 0xFFFF, dtype=jnp.int32)
+        hi = jnp.sum(per_edge >> 16, dtype=jnp.int32)
+        return jnp.stack([lo, hi])
 
-    return jax.lax.fori_loop(0, n_slabs, body,
-                             jnp.zeros((cpad, cpad), jnp.int32))
-
-
-@functools.partial(jax.jit, static_argnames=("words", "c"))
-def _mask_by_core_adj(gram, table, *, words: int, c: int):
-    """GRAM ⊙ B (core adjacency bits) → int32 [c, cpad] (host sums in i64)."""
-    v = table.shape[0]
-    cpad = words * 32
-    bbits = _expand_bits(table[v - c:, :words], cpad,
-                         dtype=jnp.int32)               # [c, cpad]
-    return gram[:c, :] * bbits
+    return jax.lax.map(body, (ss, dd))
 
 
 def clique4_count_fast(g, core: int = CORE, slab: int = SLAB,
@@ -93,18 +103,18 @@ def clique4_count_fast(g, core: int = CORE, slab: int = SLAB,
     incore = dst >= cs
     total = 0
 
-    # core-dst edges: accumulated wedge Gram ⊙ core adjacency on the MXU
+    # core-dst edges: per-slab x_Wᵀ B x_W bilinear forms on the MXU
     if incore.any():
         s = src[incore].astype(np.int32)
         d = dst[incore].astype(np.int32)
         npad = round_up(s.shape[0], slab)
         s = np.pad(s, (0, npad - s.shape[0]), constant_values=SENTINEL)
         d = np.pad(d, (0, npad - d.shape[0]), constant_values=SENTINEL)
-        gram = _wedge_gram(lay.table, jnp.asarray(s), jnp.asarray(d),
-                           words=lay.words, slab=slab)
-        masked = _mask_by_core_adj(gram, lay.table, words=lay.words,
-                                   c=lay.core_size)
-        total += int(np.asarray(masked, dtype=np.int64).sum())
+        bexp = _core_adj_bf16(lay.table, words=lay.words, c=lay.core_size)
+        lohi = np.asarray(_wedge_bilinear(
+            lay.table, bexp, jnp.asarray(s), jnp.asarray(d),
+            words=lay.words, slab=slab), dtype=np.int64)
+        total += int(lohi[:, 0].sum() + (lohi[:, 1].sum() << 16))
 
     # sub-core-dst edges: both endpoints low-degree → bucketed frontier
     if (~incore).any():
@@ -125,6 +135,8 @@ class Clique4Engine:
             g.relabel_by_degree(descending=False).orientation()
         self.lay = build_hub_layout(rg, core=core)
         self.slab = slab
+        self._bexp = _core_adj_bf16(self.lay.table, words=self.lay.words,
+                                    c=self.lay.core_size)
         cs = self.lay.core_start
         src, dst = rg.edge_list()
         incore = dst >= cs
@@ -144,12 +156,10 @@ class Clique4Engine:
                 tasks=(src[~incore], dst[~incore]))
 
     def _gram_total(self, src, dst) -> int:
-        gram = _wedge_gram(self.lay.table, src, dst, words=self.lay.words,
-                           slab=self.slab)
-        masked = _mask_by_core_adj(gram, self.lay.table,
-                                   words=self.lay.words,
-                                   c=self.lay.core_size)
-        return int(np.asarray(masked, dtype=np.int64).sum())
+        lohi = np.asarray(_wedge_bilinear(
+            self.lay.table, self._bexp, src, dst, words=self.lay.words,
+            slab=self.slab), dtype=np.int64)
+        return int(lohi[:, 0].sum() + (lohi[:, 1].sum() << 16))
 
     def count(self) -> int:
         return self._gram_total(self.src, self.dst) + self.tail_total

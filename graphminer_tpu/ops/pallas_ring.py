@@ -34,7 +34,10 @@ def _kernel(dloc_ref, src_ref, core_ref, out_ref, *, wc: int, words: int):
     dloc_ref: scalar-prefetched flat [n * wc] core-local dst ids.
     src_ref:  [BLK, words] src bitmaps (pipelined VMEM block).
     core_ref: [C, words] core table (constant block — resident).
-    out_ref:  [1, 1] int32 partial sum for this step."""
+    out_ref:  [n_steps, 1] int32 SMEM partial sums (full-array block:
+              Mosaic requires the last two block dims divisible by (8, 128)
+              or equal to the array dims — a per-step (1, 1) block is
+              rejected; the sequential grid writes one slot per step)."""
     step = pl.program_id(0)
     base = step * BLK * wc
     c = core_ref.shape[0]
@@ -52,7 +55,7 @@ def _kernel(dloc_ref, src_ref, core_ref, out_ref, *, wc: int, words: int):
 
         return jax.lax.fori_loop(0, wc, slot_body, acc)
 
-    out_ref[0, 0] = jax.lax.fori_loop(0, BLK, row_body, jnp.int32(0))
+    out_ref[step, 0] = jax.lax.fori_loop(0, BLK, row_body, jnp.int32(0))
 
 
 try:  # pallas imports kept local-failure-safe (CPU-only wheels)
@@ -86,7 +89,7 @@ def cbucket_partials_pallas(core_bm, src_bm, dst_loc, *, words: int, wc: int,
             pl.BlockSpec((c, words), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i, s: (i, 0),
+        out_specs=pl.BlockSpec((n_steps, 1), lambda i, s: (0, 0),
                                memory_space=pltpu.SMEM),
     )
     out = pl.pallas_call(
@@ -98,23 +101,24 @@ def cbucket_partials_pallas(core_bm, src_bm, dst_loc, *, words: int, wc: int,
     return out.reshape(-1)
 
 
-def ring_partials(layout, carrays, cspec, tslot_arrays, tspec, salt,
-                  interpret: bool = False):
+def ring_partials(layout, carrays, cspec, barrays, bspec, tslot_arrays,
+                  tspec, salt, interpret: bool = False):
     """Drop-in for ring._ring_partials with the Pallas phase-C kernel;
-    phase T stays on the XLA bitmap + tail-table path."""
+    the phase-T bitmap buckets and tail tables stay on the XLA path (the
+    [V, words] bm_table does not fit VMEM; see module docstring)."""
     from . import ring as _ring
     outs = []
     for (src_bm, dst_loc), wc in zip(carrays, cspec):
         outs.append(cbucket_partials_pallas(
             layout.core_bm, src_bm, dst_loc, words=layout.words, wc=wc,
             interpret=interpret))
-    if layout.t_src is not None:
-        outs.append(_ring._bm_pairs_partials(
-            layout.bm_table, layout.t_src, layout.t_dst,
-            words=layout.words))
-        for (sa, sb), (ia, iv) in zip(tslot_arrays, tspec):
-            outs.append(_ring._tail_pairs_partials(
-                layout.tail_tables[ia], layout.tail_tables[iv], sa, sb,
-                per_task=False))
+    for (src_bm, dst_loc), wc in zip(barrays, bspec):
+        outs.append(_ring._cbucket_partials(
+            layout.bm_table, src_bm, dst_loc, words=layout.words, wc=wc,
+            per_task=False))
+    for (sa, sb), (ia, iv) in zip(tslot_arrays, tspec):
+        outs.append(_ring._tail_pairs_partials(
+            layout.tail_tables[ia], layout.tail_tables[iv], sa, sb,
+            per_task=False))
     parts = jnp.concatenate(outs) if outs else jnp.zeros((1,), jnp.int32)
     return jnp.roll(parts, salt)

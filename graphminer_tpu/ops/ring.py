@@ -43,8 +43,11 @@ from ..types import SENTINEL, cdiv, round_up
 CORE = 4096
 # src core-out-degree classes for phase C (dst-index slots per src row)
 C_CLASSES = (4, 16, 64, 256, 1024, 4096)
-# out-degree classes for phase T list rows
-T_CLASSES = (8, 32, 128, 512, 2048)
+# src sub-core-out-degree classes for the phase-T bitmap buckets
+B_CLASSES = (4, 16, 64, 256, 1024)
+# out-degree classes for phase T tail-list rows (power-of-2: measured 1.9x
+# less padded compare work than a 4x ladder on rmat20)
+T_CLASSES = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 # tasks per lax.map step (large: small steps serialize — prof_popcount.py)
 TASK_BLOCK = 1 << 20
 
@@ -97,11 +100,15 @@ class RingLayout:
     core_start: int
     core_size: int
     cbuckets: Tuple[CBucket, ...]
+    # phase-T bitmap pass, grouped BY SRC exactly like phase C: src bitmap
+    # row stored once, GLOBAL dst ids gathered from bm_table — halves the
+    # gather volume vs the earlier flat per-task (src, dst) pair gathers.
+    # Rows whose src bitmap is all-zero are dropped at build (contribute 0).
+    bbuckets: Tuple[CBucket, ...]
     tbuckets: Tuple[TBucket, ...]
-    t_src: Optional[jax.Array]   # int32 [nt] tail-task src ids (bm pass)
-    t_dst: Optional[jax.Array]   # int32 [nt] tail-task dst ids
     n_tasks: int         # total oriented edges
     n_core_tasks: int
+    n_b_tasks: int       # tail tasks carried by bbuckets (zero-CB rows cut)
 
     def nbytes(self) -> int:
         n = self.core_bm.size
@@ -109,12 +116,10 @@ class RingLayout:
             n += self.bm_table.size
         for t in self.tail_tables:
             n += t.size
-        for b in self.cbuckets:
+        for b in self.cbuckets + self.bbuckets:
             n += b.src_bm.size + b.dst_loc.size
         for b in self.tbuckets:
             n += b.src_slot.size + b.dst_slot.size
-        if self.t_src is not None:
-            n += self.t_src.size + self.t_dst.size
         return n * 4
 
 
@@ -127,8 +132,41 @@ def _pack_bitmaps(cols_local: np.ndarray, row_of: np.ndarray, n_rows: int,
     return bm.view(np.int32)
 
 
+def _bucket_by_src(wsrc: np.ndarray, starts: np.ndarray, cols: np.ndarray,
+                   src_rows: np.ndarray, classes) -> list:
+    """Group per-src task lists into width-class CBuckets.
+
+    wsrc: [ns] tasks per src; starts: [ns] offsets into cols (src-major);
+    cols: flat dst ids; src_rows: [ns, words] bitmap row per src."""
+    words = src_rows.shape[1]
+    out = []
+    if wsrc.size == 0:
+        return out
+    classes = _cover(classes, int(wsrc.max()))
+    cls = _class_of(wsrc, classes)
+    for k in classes:
+        m = cls == k
+        if not m.any():
+            continue
+        n_d = int(m.sum())
+        n_pad = round_up(n_d, 8)
+        dl = np.full((n_pad, k), SENTINEL, dtype=np.int32)
+        st, ln = starts[m], wsrc[m]
+        pos = st[:, None] + np.arange(k, dtype=np.int64)[None, :]
+        valid = np.arange(k)[None, :] < ln[:, None]
+        dl[:n_d][valid] = cols[np.minimum(pos, cols.shape[0] - 1)][valid]
+        bm = np.zeros((n_pad, words), dtype=np.int32)
+        bm[:n_d] = src_rows[m]
+        rt = np.zeros(n_pad, dtype=np.int32)
+        rt[:n_d] = ln
+        out.append(CBucket(wc=int(k), src_bm=jnp.asarray(bm),
+                           dst_loc=jnp.asarray(dl),
+                           n_tasks=int(ln.sum()), row_tasks=rt))
+    return out
+
+
 def build_ring(g, core: int = CORE, c_classes=C_CLASSES,
-               t_classes=T_CLASSES) -> RingLayout:
+               b_classes=B_CLASSES, t_classes=T_CLASSES) -> RingLayout:
     """g: undirected host graph (or already-oriented DAG). Relabels
     ascending by degree, orients, splits tasks into phase C / phase T."""
     rg = g if g.is_dag else g.relabel_by_degree(descending=False).orientation()
@@ -155,53 +193,47 @@ def build_ring(g, core: int = CORE, c_classes=C_CLASSES,
     src_bm_all = _pack_bitmaps(core_cols, rank[core_src], csrc.shape[0], words)
 
     starts = np.concatenate([[0], np.cumsum(wc[csrc])[:-1]])
-    if csrc.size:
-        c_classes = _cover(c_classes, int(wc[csrc].max()))
-    cls = _class_of(wc[csrc], c_classes)
-    cbuckets = []
     n_core_tasks = int(wc.sum())
-    for k in c_classes:
-        m = cls == k
-        if not m.any():
-            continue
-        n_d = int(m.sum())
-        n_pad = round_up(n_d, 8)
-        dl = np.full((n_pad, k), SENTINEL, dtype=np.int32)
-        st, ln = starts[m], wc[csrc][m]
-        pos = st[:, None] + np.arange(k, dtype=np.int64)[None, :]
-        valid = np.arange(k)[None, :] < ln[:, None]
-        dl[:n_d][valid] = core_cols[np.minimum(pos, core_cols.shape[0] - 1)][valid]
-        bm = np.zeros((n_pad, words), dtype=np.int32)
-        bm[:n_d] = src_bm_all[m]
-        rt = np.zeros(n_pad, dtype=np.int32)
-        rt[:n_d] = ln
-        cbuckets.append(CBucket(wc=k, src_bm=jnp.asarray(bm),
-                                dst_loc=jnp.asarray(dl),
-                                n_tasks=int(ln.sum()), row_tasks=rt))
+    cbuckets = _bucket_by_src(wc[csrc], starts, core_cols, src_bm_all,
+                              c_classes)
 
     # ---- phase T: sub-core-dst tasks --------------------------------------
     # |N+(u) ∩ N+(v)| = popcount(CB[u] & CB[v]) + |T[u] ∩ T[v]|. The bitmap
-    # part fused-gathers from bm_table [V, words]; the tail part gathers each
-    # side's short tail from per-class tables (each tail stored ONCE).
+    # part is grouped by src (bbuckets): the src row is stored once, dst
+    # rows are fused-gathered from bm_table [V, words] — half the gather
+    # volume of per-task pair gathers; rows with an all-zero src bitmap are
+    # dropped (they contribute 0). The tail part gathers each side's short
+    # tail from per-class tables (each tail stored ONCE).
     tsrc = src[~in_core].astype(np.int64)
     tdst = col[~in_core].astype(np.int64)
     tbuckets = []
+    bbuckets = []
     tail_tables = []
     bm_table = None
-    t_src_d = t_dst_d = None
+    n_b_tasks = 0
     if tsrc.size:
         # all-vertex core bitmaps (sub-core rows only are ever gathered, but
         # a single [V, words] table keeps indices direct)
         bm = np.zeros((v, words), dtype=np.uint32)
         np.bitwise_or.at(bm, (core_src, core_cols >> 5),
                          np.uint32(1) << (core_cols & 31).astype(np.uint32))
-        bm_table = jnp.asarray(bm.view(np.int32))
-        npad_t = round_up(tsrc.shape[0], 8)
-        ts = np.full(npad_t, SENTINEL, np.int32)
-        td = np.full(npad_t, SENTINEL, np.int32)
-        ts[: tsrc.shape[0]] = tsrc
-        td[: tdst.shape[0]] = tdst
-        t_src_d, t_dst_d = jnp.asarray(ts), jnp.asarray(td)
+        bm = bm.view(np.int32)
+        bm_table = jnp.asarray(bm)
+
+        # bbuckets: tail tasks grouped by src (tasks are src-major already);
+        # keep only srcs with a non-zero core bitmap
+        wt_all = np.bincount(tsrc, minlength=v).astype(np.int64)
+        bsrc = np.nonzero(wt_all)[0]
+        cb_nonzero = wc[bsrc] > 0        # popcount(CB[src]) > 0
+        bstarts_all = np.concatenate([[0], np.cumsum(wt_all[bsrc])[:-1]])
+        keep = np.nonzero(cb_nonzero)[0]
+        if keep.size:
+            rank_b = np.full(v, -1, dtype=np.int64)
+            rank_b[csrc] = np.arange(csrc.shape[0])
+            rows = src_bm_all[rank_b[bsrc[keep]]]
+            bbuckets = _bucket_by_src(wt_all[bsrc[keep]], bstarts_all[keep],
+                                      tdst.astype(np.int32), rows, b_classes)
+            n_b_tasks = sum(b.n_tasks for b in bbuckets)
 
         # tails: out-neighbors below cs = sorted row prefix, per vertex
         tw = np.bincount(src[~in_core], minlength=v).astype(np.int64)
@@ -265,9 +297,10 @@ def build_ring(g, core: int = CORE, c_classes=C_CLASSES,
     return RingLayout(core_bm=jnp.asarray(core_bm.view(np.int32)),
                       bm_table=bm_table, tail_tables=tuple(tail_tables),
                       words=words, core_start=cs, core_size=c,
-                      cbuckets=tuple(cbuckets), tbuckets=tuple(tbuckets),
-                      t_src=t_src_d, t_dst=t_dst_d,
-                      n_tasks=int(col.shape[0]), n_core_tasks=n_core_tasks)
+                      cbuckets=tuple(cbuckets), bbuckets=tuple(bbuckets),
+                      tbuckets=tuple(tbuckets),
+                      n_tasks=int(col.shape[0]), n_core_tasks=n_core_tasks,
+                      n_b_tasks=n_b_tasks)
 
 
 def _gather_lists(rowptr, colidx, vids: np.ndarray, width: int,
@@ -317,30 +350,6 @@ def _cbucket_partials(core_bm, src_bm, dst_loc, *, words: int, wc: int,
     return jax.lax.map(body, (sb, dl))
 
 
-def _bm_pairs_partials(bm_table, src, dst, *, words: int):
-    """popcount(CB[u] & CB[v]) summed over flat tail tasks (fused gathers)."""
-    v = bm_table.shape[0]
-    n = src.shape[0]
-    chunk = max(8, min(TASK_BLOCK, (64 << 20) // (2 * words * 4)))
-    n_chunks = cdiv(n, chunk)
-    pad = n_chunks * chunk - n
-    if pad:
-        src = jnp.concatenate([src, jnp.full((pad,), SENTINEL, jnp.int32)])
-        dst = jnp.concatenate([dst, jnp.full((pad,), SENTINEL, jnp.int32)])
-    ss = src.reshape(n_chunks, chunk)
-    dd = dst.reshape(n_chunks, chunk)
-
-    def body(xs):
-        u, w = xs
-        oku = (u >= 0) & (u < v)
-        okw = (w >= 0) & (w < v)
-        a = jnp.where(oku[:, None], bm_table[jnp.where(oku, u, 0)], 0)
-        b = jnp.where(okw[:, None], bm_table[jnp.where(okw, w, 0)], 0)
-        return jnp.sum(jax.lax.population_count(a & b), dtype=jnp.int32)
-
-    return jax.lax.map(body, (ss, dd))
-
-
 def _tail_pairs_partials(table_a, table_b, sa, sb, *, per_task: bool):
     """|T[u] ∩ T[v]| per task via per-class tail-table gathers + compare."""
     wa, wb = table_a.shape[1], table_b.shape[1]
@@ -373,22 +382,23 @@ def _tail_pairs_partials(table_a, table_b, sa, sb, *, per_task: bool):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cspec", "tspec", "words", "has_t"))
-def _ring_partials(core_bm, carrays, bm_table, t_src, t_dst, tail_tables,
-                   tslot_arrays, salt, *, cspec, tspec, words: int,
-                   has_t: bool):
+                   static_argnames=("cspec", "bspec", "tspec", "words"))
+def _ring_partials(core_bm, carrays, bm_table, barrays, tail_tables,
+                   tslot_arrays, salt, *, cspec, bspec, tspec, words: int):
     """ONE dispatch over all buckets → concatenated int32 partial sums.
     salt permutes the output order only (benchmark dispatch distinctness)."""
     outs = []
     for (src_bm, dst_loc), wc in zip(carrays, cspec):
         outs.append(_cbucket_partials(core_bm, src_bm, dst_loc, words=words,
                                       wc=wc, per_task=False))
-    if has_t:
-        outs.append(_bm_pairs_partials(bm_table, t_src, t_dst, words=words))
-        for (sa, sb), (ia, iv) in zip(tslot_arrays, tspec):
-            outs.append(_tail_pairs_partials(tail_tables[ia],
-                                             tail_tables[iv], sa, sb,
-                                             per_task=False))
+    for (src_bm, dst_loc), wc in zip(barrays, bspec):
+        # phase-T bitmap pass: same kernel, dst rows from the full table
+        outs.append(_cbucket_partials(bm_table, src_bm, dst_loc, words=words,
+                                      wc=wc, per_task=False))
+    for (sa, sb), (ia, iv) in zip(tslot_arrays, tspec):
+        outs.append(_tail_pairs_partials(tail_tables[ia],
+                                         tail_tables[iv], sa, sb,
+                                         per_task=False))
     parts = jnp.concatenate(outs) if outs else jnp.zeros((1,), jnp.int32)
     return jnp.roll(parts, salt)
 
@@ -404,6 +414,8 @@ class RingEngine:
         lay = self.layout
         self.carrays = tuple((b.src_bm, b.dst_loc) for b in lay.cbuckets)
         self.cspec = tuple(b.wc for b in lay.cbuckets)
+        self.barrays = tuple((b.src_bm, b.dst_loc) for b in lay.bbuckets)
+        self.bspec = tuple(b.wc for b in lay.bbuckets)
         self.tslot_arrays = tuple((b.src_slot, b.dst_slot)
                                   for b in lay.tbuckets)
         self.tspec = tuple((b.ta, b.tv) for b in lay.tbuckets)
@@ -423,17 +435,14 @@ class RingEngine:
         lay = self.layout
         if self._pallas is not None:
             return self._pallas.ring_partials(
-                lay, self.carrays, self.cspec, self.tslot_arrays, self.tspec,
-                jnp.int32(salt))
+                lay, self.carrays, self.cspec, self.barrays, self.bspec,
+                self.tslot_arrays, self.tspec, jnp.int32(salt))
         bm = lay.bm_table if lay.bm_table is not None else lay.core_bm
-        ts = lay.t_src if lay.t_src is not None else \
-            jnp.full((8,), SENTINEL, jnp.int32)
-        td = lay.t_dst if lay.t_dst is not None else ts
-        return _ring_partials(lay.core_bm, self.carrays, bm, ts, td,
+        return _ring_partials(lay.core_bm, self.carrays, bm, self.barrays,
                               lay.tail_tables, self.tslot_arrays,
                               jnp.int32(salt), cspec=self.cspec,
-                              tspec=self.tspec, words=lay.words,
-                              has_t=lay.t_src is not None)
+                              bspec=self.bspec, tspec=self.tspec,
+                              words=lay.words)
 
     def count(self) -> int:
         from ..utils.profiling import PROFILER
@@ -465,22 +474,31 @@ class RingEngine:
         eng.carrays = tuple((bm[: h(bm.shape[0])], dl[: h(dl.shape[0])])
                             for bm, dl in self.carrays)
         eng.cspec = self.cspec
-        lay = self.layout
-        nt = lay.t_src.shape[0] if lay.t_src is not None else 0
-        eng.layout = dataclasses.replace(
-            lay,
-            t_src=lay.t_src[: h(nt)] if nt else lay.t_src,
-            t_dst=lay.t_dst[: h(nt)] if nt else lay.t_dst)
+        eng.barrays = tuple((bm[: h(bm.shape[0])], dl[: h(dl.shape[0])])
+                            for bm, dl in self.barrays)
+        eng.bspec = self.bspec
         eng.tslot_arrays = tuple((sa[: h(sa.shape[0])],
                                   sb[: h(sb.shape[0])])
                                  for sa, sb in self.tslot_arrays)
         eng.tspec = self.tspec
         eng._pallas = self._pallas
         eng.use_pallas = self.use_pallas
-        n_t_half = min(h(nt), lay.n_tasks - lay.n_core_tasks) if nt else 0
+        # edge-equivalent of the sliced work: core tasks exactly; a tail
+        # task's work is split across a bbucket slot (bitmap part) and a
+        # tbucket slot (tail part), so prorate the sliced slot counts back
+        # to edges by the full engine's slots-per-tail-edge ratio.
+        lay = self.layout
+        frac_b = sum(int(b.row_tasks[: h(b.row_tasks.shape[0])].sum())
+                     for b in lay.bbuckets)
+        frac_t = sum(min(h(sa.shape[0]), b.n_tasks)
+                     for (sa, _), b in zip(eng.tslot_arrays, lay.tbuckets))
+        n_tail = lay.n_tasks - lay.n_core_tasks
+        n_tb = sum(b.n_tasks for b in lay.tbuckets)
+        slots = lay.n_b_tasks + n_tb
         eng.n_edges = (
             sum(int(b.row_tasks[: h(b.row_tasks.shape[0])].sum())
-                for b in self.layout.cbuckets) + n_t_half)
+                for b in lay.cbuckets)
+            + (n_tail * (frac_b + frac_t)) // max(slots, 1))
         return eng
 
     def timed_slope(self, samples: int = 5):

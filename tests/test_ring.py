@@ -24,16 +24,16 @@ def test_ring_vs_stream_rmat14():
     want = triangle_count_stream(g)
     eng = RingEngine(g, use_pallas=False)
     assert eng.count() == want
-    # every core-dst task lands in exactly one C bucket; every tail task is
-    # in the flat bm pass (t_src), tail-compare buckets only hold the
+    # every core-dst task lands in exactly one C bucket; the phase-T bitmap
+    # buckets hold the tail tasks whose src core-bitmap is non-zero (the
+    # rest contribute 0 there); tail-compare buckets only hold the
     # both-tails subset
     lay = eng.layout
     assert sum(b.n_tasks for b in lay.cbuckets) == lay.n_core_tasks
     n_tail = lay.n_tasks - lay.n_core_tasks
-    from graphminer_tpu.types import SENTINEL
-    n_flat = int((np.asarray(lay.t_src) != SENTINEL).sum()) \
-        if lay.t_src is not None else 0
-    assert n_flat == n_tail
+    assert lay.n_b_tasks == sum(b.n_tasks for b in lay.bbuckets)
+    assert lay.n_b_tasks <= n_tail
+    assert sum(b.n_tasks for b in lay.tbuckets) <= n_tail
 
 
 def test_ring_small_core_split():
@@ -73,6 +73,7 @@ def test_pallas_ring_interpret_matches():
     lay = eng.layout
     want = eng.count()
     parts = pallas_ring.ring_partials(lay, eng.carrays, eng.cspec,
+                                      eng.barrays, eng.bspec,
                                       eng.tslot_arrays, eng.tspec,
                                       jnp.int32(0), interpret=True)
     got = int(np.asarray(parts, dtype=np.int64).sum())
