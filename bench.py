@@ -36,6 +36,7 @@ EDGE_FACTOR = int(os.environ.get("BENCH_EDGE_FACTOR", "16"))
 SAMPLES = int(os.environ.get("BENCH_SAMPLES", "5"))
 RING_SCALE = int(os.environ.get("BENCH_RING_SCALE", "20"))
 GOLDEN = {18: 82947332}
+GOLDEN_CK = {(18, 4): 2280263816}   # cross-checked vs the wedge-Gram engine
 
 
 def _retry(fn, n=3, what=""):
@@ -149,30 +150,38 @@ def main():
         ring = ring18 = gr = None   # drop device buffers before next section
         gc.collect()
 
-    # ---- 4-clique: MXU wedge-Gram engine (BASELINE config 2 metric) --------
+    # ---- 4/5-clique: hi/lo-split MXU engine (BASELINE config 2 metric) -----
     try:
         import gc
-        from graphminer_tpu.ops.clique4 import Clique4Engine
+        from graphminer_tpu.ops.cliquek import CliqueKEngine
         gc.collect()
-        t0 = time.time()
-        c4 = Clique4Engine(_dag(SCALE))
-        extra["clique4_prep_s"] = round(time.time() - t0, 1)
-        t0 = time.time()
-        c4_total = _retry(c4.count, what="clique4")
-        extra["clique4_compile_s"] = round(time.time() - t0, 1)
-        c4s = _retry(lambda: c4.timed_slope(samples=3), what="clique4 slope")
-        extra[f"clique4_edges_per_s_rmat{SCALE}"] = c4s["edges_per_s"]
-        extra[f"clique4_count_rmat{SCALE}"] = c4_total
-        sys.stderr.write(
-            f"4-clique rmat{SCALE}: {c4_total} "
-            f"{c4s['edges_per_s']/1e6:.1f}M edges/s "
-            f"latency={c4s['latency_s']*1e3:.0f}ms\n")
+        for k in (4, 5):
+            t0 = time.time()
+            ck = CliqueKEngine(_dag(SCALE), k)
+            extra[f"clique{k}_prep_s"] = round(time.time() - t0, 1)
+            t0 = time.time()
+            ck_total = _retry(ck.count, what=f"clique{k}")
+            extra[f"clique{k}_compile_s"] = round(time.time() - t0, 1)
+            want_ck = GOLDEN_CK.get((SCALE, k))
+            if want_ck is not None and ck_total != want_ck:
+                raise AssertionError(
+                    f"{k}-clique {ck_total} != golden {want_ck}")
+            cks = _retry(lambda: ck.timed_slope(samples=3),
+                         what=f"clique{k} slope")
+            extra[f"clique{k}_edges_per_s_rmat{SCALE}"] = cks["edges_per_s"]
+            extra[f"clique{k}_count_rmat{SCALE}"] = ck_total
+            sys.stderr.write(
+                f"{k}-clique rmat{SCALE}: {ck_total} "
+                f"{cks['edges_per_s']/1e6:.1f}M edges/s "
+                f"latency={cks['latency_s']*1e3:.0f}ms\n")
+            ck = None
+            gc.collect()
     except Exception as e:
-        sys.stderr.write(f"clique4 bench failed: {type(e).__name__}: {e}\n")
-        extra["clique4_error"] = str(e)[:200]
+        sys.stderr.write(f"cliquek bench failed: {type(e).__name__}: {e}\n")
+        extra["cliquek_error"] = str(e)[:200]
     finally:
         import gc
-        c4 = None
+        ck = None
         gc.collect()
 
     # ---- diamond via per-edge tri support (BASELINE config 3 analogue) -----
@@ -192,6 +201,24 @@ def main():
     except Exception as e:
         sys.stderr.write(f"diamond bench failed: {type(e).__name__}: {e}\n")
         extra["diamond_error"] = str(e)[:200]
+
+    # ---- FSM at rmat16 (BASELINE config 5 analogue: labeled, minsup 300) ---
+    try:
+        import numpy as _np
+        from graphminer_tpu.io.synth import rmat
+        from graphminer_tpu.workloads.fsm import fsm_count
+        gl = rmat(16, 8, seed=7)
+        gl.vlabels = _np.random.default_rng(7).integers(
+            1, 5, gl.n_vertices).astype(_np.uint8)
+        t0 = time.time()
+        nfreq = _retry(lambda: fsm_count(gl, 2, 300), what="fsm")
+        extra["fsm_rmat16_k2_ms300_s"] = round(time.time() - t0, 1)
+        extra["fsm_rmat16_k2_ms300_frequent"] = nfreq
+        sys.stderr.write(f"fsm rmat16 k=2 minsup=300: {nfreq} frequent in "
+                         f"{extra['fsm_rmat16_k2_ms300_s']}s\n")
+    except Exception as e:
+        sys.stderr.write(f"fsm bench failed: {type(e).__name__}: {e}\n")
+        extra["fsm_error"] = str(e)[:200]
 
     out.update({
         "metric": f"tc_edges_per_s_rmat{SCALE}",

@@ -37,8 +37,9 @@ def main(argv=None):
     p.add_argument("--engine", default=cfg.engine,
                    help="frontier engine: compact | map")
     p.add_argument("--fast", action="store_true",
-                   help="fast engines: tc=stream, clique4=MXU wedge-Gram, "
-                        "sgl diamond=tri-support")
+                   help="fast engines: tc=stream, clique 4/5=hi/lo MXU "
+                        "bilinear, sgl diamond=tri-support, motif 3/4="
+                        "formula over fast engines")
     p.add_argument("--partition", type=int, default=0, metavar="N",
                    help="count over N induced halo partitions (out-of-core)")
     p.add_argument("--profile", action="store_true",
@@ -116,7 +117,7 @@ def main(argv=None):
     elif ns.workload == "motif":
         from .workloads.motif import motif_count
         k = int(ns.args[0]) if ns.args else 4
-        out["counts"] = motif_count(g, k, chunk=ns.chunk)
+        out["counts"] = motif_count(g, k, chunk=ns.chunk, fast=ns.fast)
         out["k"] = k
     elif ns.workload == "sc":
         from .workloads.count import sc_count

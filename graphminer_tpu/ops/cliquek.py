@@ -1,0 +1,353 @@
+"""k-clique counting (k = 4, 5) — hi/lo-split core bilinears on the MXU.
+
+Parity: src/clique/gpu_kernels/clique4_warp_edge.cuh:3-31 and
+clique5_warp_edge.cuh (per-edge/per-triangle W = iterated N+ intersections,
+then counting adjacent pairs inside W), and the OSDI Fig-11 large-clique
+configurations (src/clique/README.md).
+
+TPU reformulation. Over the degree-ascending oriented DAG with the closed
+core (top `core` ids), a k-clique a < b < … is anchored at its lowest edge
+(a, b). If b ∈ core, every later vertex lies in the core (closure), so the
+whole residual problem lives in core bitmaps:
+
+* k = 4:  #4cl(a,b) = #DAG edges inside y₂ = CB[a] & CB[b]  = q(y₂)
+* k = 5:  #5cl(a,b) = #DAG triangles inside y₂
+                    = Σ_{c ∈ y₂} q(y₂ & C[c])      (per-TRIANGLE tasks)
+
+where q(y) = Σ_{d ∈ y} popcount(C[d] & y) counts DAG edges inside y.
+
+The bilinear q costs |core|² MACs per task if done densely — 99% wasted on
+zero bits. Measured on rmat18: the TOP-1024 core ids hold 99.1% of all
+wedge-bitmap bits (power law). So q is split by the smaller endpoint d:
+
+* d ∈ HI (top `hi` ids):  the partner is forced ∈ HI (ascending DAG), so
+  q_hh(y_hi) = x_hiᵀ B_hh x_hi — a [slab, hi] @ [hi, hi] MXU bilinear,
+  16× fewer MACs than the full-core form at hi = 1024.
+* d ∈ LO (core below hi): rare (≤ 1% of bits). Enumerated on the host into
+  explicit sparse tasks; each costs one fused row-AND + popcount:
+    k=4: (a, b, d)    → popcount(CB[a] & CB[b] & C[d])
+    k=5: (a, b, c, d) → popcount(CB[a] & CB[b] & C[c] & C[d]),
+         c ∈ y₂ ∩ IN(d) (in-neighbors of d inside the core).
+
+If b ∉ core, both endpoints are low-out-degree sub-core vertices: those
+edge tasks run the generic bucketed frontier engine with clique_plan(k).
+The split is exact and disjoint.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import SENTINEL, cdiv, round_up
+from .hubcore import _expand_bits
+
+CORE = 4096
+HI = 1024
+SLAB = 2048
+CHUNK_EDGES = 1 << 16       # host bit-expansion chunk
+
+
+# --------------------------------------------------------------------------
+# host-side layout + task enumeration
+# --------------------------------------------------------------------------
+
+def _core_bitmaps(rg, cs: int, c: int, words: int):
+    """(bm [V, words], C [c, words], INB [c, words]) uint32 host arrays:
+    N+ ∩ core bitmaps for all vertices, core rows, core-internal
+    in-neighbor (transpose) rows."""
+    v = rg.n_vertices
+    deg = np.diff(rg.rowptr).astype(np.int64)
+    src = np.repeat(np.arange(v, dtype=np.int64), deg)
+    col = rg.colidx.astype(np.int64)
+    m = col >= cs
+    bm = np.zeros((v, words), dtype=np.uint32)
+    cc = (col[m] - cs).astype(np.int64)
+    np.bitwise_or.at(bm, (src[m], cc >> 5),
+                     np.uint32(1) << (cc & 31).astype(np.uint32))
+    core = bm[cs:]
+    inb = np.zeros((c, words), dtype=np.uint32)
+    mm = m & (src >= cs)                      # core→core edges
+    sl = (src[mm] - cs).astype(np.int64)
+    np.bitwise_or.at(inb, (cc[src[m] >= cs], sl >> 5),
+                     np.uint32(1) << (sl & 31).astype(np.uint32))
+    return bm, core, inb
+
+
+def _enum_tasks(bm: np.ndarray, core: np.ndarray, inb: np.ndarray,
+                ea: np.ndarray, eb: np.ndarray, c: int, lo_cut: int,
+                k: int):
+    """Chunked host enumeration over case-A edges.
+
+    Returns (tri, lo) where
+      tri: k=5 only — int32 [T, 3] triangle tasks (a, b, c_core_local)
+      lo : int32 [L, k-1] sparse lo tasks (k=4: (a,b,d); k=5: (a,b,c,d)),
+           d = core-local id below the word-aligned hi cut `lo_cut`."""
+    tri_parts, lo_parts = [], []
+    if k == 4 and lo_cut == 0:
+        return (np.zeros((0, 3), np.int32), np.zeros((0, k - 1), np.int32))
+    for s in range(0, ea.shape[0], CHUNK_EDGES):
+        a = ea[s:s + CHUNK_EDGES].astype(np.int64)
+        b = eb[s:s + CHUNK_EDGES].astype(np.int64)
+        y2 = bm[a] & bm[b]
+        if k == 4:      # only the lo words are ever enumerated
+            bits = np.unpackbits(y2[:, : lo_cut // 32].view(np.uint8),
+                                 axis=1, bitorder="little")
+        else:
+            bits = np.unpackbits(y2.view(np.uint8), axis=1,
+                                 bitorder="little")
+        if k == 5:
+            ei, cl = np.nonzero(bits[:, :c])
+            tri_parts.append(np.stack(
+                [a[ei], b[ei], cl.astype(np.int64)], axis=1))
+        if lo_cut > 0:
+            ei, dl = np.nonzero(bits[:, :lo_cut])
+            if k == 4:
+                lo_parts.append(np.stack(
+                    [a[ei], b[ei], dl.astype(np.int64)], axis=1))
+            else:
+                # c ∈ y₂ ∩ IN(d): second host expansion per (edge, d) pair
+                w = y2[ei] & inb[dl]
+                wb = np.unpackbits(w.view(np.uint8), axis=1,
+                                   bitorder="little")
+                pi, cl2 = np.nonzero(wb[:, :c])
+                lo_parts.append(np.stack(
+                    [a[ei[pi]], b[ei[pi]], cl2.astype(np.int64),
+                     dl[pi].astype(np.int64)], axis=1))
+    def cat(parts, width):
+        if not parts:
+            return np.zeros((0, width), dtype=np.int32)
+        return np.concatenate(parts).astype(np.int32)
+    return cat(tri_parts, 3), cat(lo_parts, k - 1)
+
+
+# --------------------------------------------------------------------------
+# device kernels
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("words", "hi_words"))
+def _hi_adj_bf16(core_dev, *, words: int, hi_words: int):
+    """B_hh [hi_dim, hi_dim] bf16: DAG adjacency among the hi-region core
+    ids (the top `hi_words` WORDS of the bitmap space — word-aligned; row j
+    = core-local id lo_cut + j, zero rows beyond c never match a set bit)."""
+    c = core_dev.shape[0]
+    hi_dim = hi_words * 32
+    lo_cut = words * 32 - hi_dim
+    rows = core_dev[lo_cut:, words - hi_words:]    # [c - lo_cut, hi_words]
+    x = _expand_bits(rows, hi_dim)
+    pad = hi_dim - (c - lo_cut)
+    if pad > 0:
+        x = jnp.concatenate([x, jnp.zeros((pad, hi_dim), jnp.bfloat16)])
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("words", "hi_words", "slab"))
+def _edge_hi_bilinear(bm, bhh, src, dst, *, words: int, hi_words: int,
+                      slab: int):
+    """k=4 hi part: Σ_e q_hh(y₂_hi) → int32 [n_slabs, 2] lo/hi-16 sums."""
+    v = bm.shape[0]
+    hi = hi_words * 32
+    ss = src.reshape(-1, slab)
+    dd = dst.reshape(-1, slab)
+
+    def body(xs):
+        s, d = xs
+        ok = (s >= 0) & (s < v) & (d >= 0) & (d < v)
+        ya = bm[jnp.where(ok, s, 0), words - hi_words:]
+        yb = bm[jnp.where(ok, d, 0), words - hi_words:]
+        y = jnp.where(ok[:, None], ya & yb, 0)
+        x = _expand_bits(y, hi)
+        z = jax.lax.dot_general(x, bhh, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        per = jnp.sum(x.astype(jnp.float32) * z, axis=1).astype(jnp.int32)
+        return jnp.stack([jnp.sum(per & 0xFFFF, dtype=jnp.int32),
+                          jnp.sum(per >> 16, dtype=jnp.int32)])
+
+    return jax.lax.map(body, (ss, dd))
+
+
+@functools.partial(jax.jit, static_argnames=("words", "hi_words", "slab"))
+def _tri_hi_bilinear(bm, core_dev, bhh, ta, tb, tc, *, words: int,
+                     hi_words: int, slab: int):
+    """k=5 hi part: Σ_t q_hh(y₃_hi), y₃ = CB[a] & CB[b] & C[c]."""
+    v = bm.shape[0]
+    c = core_dev.shape[0]
+    hi = hi_words * 32
+    aa = ta.reshape(-1, slab)
+    bb = tb.reshape(-1, slab)
+    cc = tc.reshape(-1, slab)
+
+    def body(xs):
+        a, b, cl = xs
+        ok = (a >= 0) & (a < v) & (cl >= 0) & (cl < c)
+        ya = bm[jnp.where(ok, a, 0), words - hi_words:]
+        yb = bm[jnp.where(ok & (b >= 0), b, 0), words - hi_words:]
+        yc = core_dev[jnp.where(ok, cl, 0), words - hi_words:]
+        y = jnp.where(ok[:, None], ya & yb & yc, 0)
+        x = _expand_bits(y, hi)
+        z = jax.lax.dot_general(x, bhh, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        per = jnp.sum(x.astype(jnp.float32) * z, axis=1).astype(jnp.int32)
+        return jnp.stack([jnp.sum(per & 0xFFFF, dtype=jnp.int32),
+                          jnp.sum(per >> 16, dtype=jnp.int32)])
+
+    return jax.lax.map(body, (aa, bb, cc))
+
+
+@functools.partial(jax.jit, static_argnames=("words", "chunk", "nrow"))
+def _lo_popcount(bm, core_dev, cols, *, words: int, chunk: int, nrow: int):
+    """Sparse lo tasks: popcount of the AND of 2 bm rows + (nrow-2) core
+    rows. cols: int32 [n, nrow] (a, b, [c,] d) — padded rows SENTINEL."""
+    v = bm.shape[0]
+    c = core_dev.shape[0]
+    xx = cols.reshape(-1, chunk, cols.shape[1])
+
+    def body(x):
+        ok = x[:, 0] >= 0
+        y = bm[jnp.where(ok, x[:, 0], 0)] & \
+            bm[jnp.where(ok & (x[:, 1] >= 0), x[:, 1], 0)]
+        for j in range(2, x.shape[1]):
+            idx = x[:, j]
+            okj = ok & (idx >= 0) & (idx < c)
+            y = y & core_dev[jnp.where(okj, idx, 0)]
+            ok = okj
+        pc = jax.lax.population_count(jnp.where(ok[:, None], y, 0))
+        return jnp.sum(pc, dtype=jnp.int32)
+
+    return jax.lax.map(body, xx)
+
+
+# --------------------------------------------------------------------------
+# engine
+# --------------------------------------------------------------------------
+
+def _pad_rows(x: np.ndarray, mult: int, fill=SENTINEL) -> np.ndarray:
+    n = x.shape[0]
+    npad = round_up(max(n, mult), mult)
+    if npad == n:
+        return x
+    pad = np.full((npad - n,) + x.shape[1:], fill, dtype=x.dtype)
+    return np.concatenate([x, pad])
+
+
+class CliqueKEngine:
+    """Prepared k-clique counter (k = 4 or 5) over the hi/lo core split.
+
+    Exact: hi bilinear (MXU) + sparse lo tasks + sub-core frontier tail.
+    Per-task integers < 2^24 (f32-exact); totals summed int64 on host."""
+
+    def __init__(self, g, k: int, core: int = CORE, hi: int = HI,
+                 slab: int = SLAB, tail: bool = True):
+        assert k in (4, 5), "MXU fast path covers k=4,5; use the frontier"
+        from ..core.plan import clique_plan
+        from ..engine.frontier import count_pattern
+        rg = g if g.is_dag else \
+            g.relabel_by_degree(descending=False).orientation()
+        self.k = k
+        v = rg.n_vertices
+        c = min(core, v)
+        cs = v - c
+        words = round_up(max(1, cdiv(c, 32)), 8)
+        self.words = words
+        self.hi_words = min(max(1, hi // 32), words)
+        lo_cut = (words - self.hi_words) * 32      # word-aligned hi cut
+        self.slab = slab
+
+        bm, core_np, inb = _core_bitmaps(rg, cs, c, words)
+        src, dst = rg.edge_list()
+        case_a = dst >= cs
+        self.n_edges = int(src.shape[0])
+        ea = src[case_a].astype(np.int64)
+        eb = dst[case_a].astype(np.int64)
+        self.n_core_edges = int(ea.shape[0])
+
+        self.bm = jnp.asarray(bm.view(np.int32))
+        self.core = jnp.asarray(core_np.view(np.int32))
+        self.bhh = _hi_adj_bf16(self.core, words=words,
+                                hi_words=self.hi_words)
+
+        tri, lo = _enum_tasks(bm, core_np, inb, ea, eb, c, lo_cut, k)
+        self.n_tri = int(tri.shape[0])
+        self.n_lo = int(lo.shape[0])
+        if k == 4:
+            e2 = _pad_rows(np.stack([ea, eb], axis=1).astype(np.int32), slab)
+            self.ta = jnp.asarray(e2[:, 0])
+            self.tb = jnp.asarray(e2[:, 1])
+            self.tc = None
+        else:
+            t3 = _pad_rows(tri, slab)
+            self.ta = jnp.asarray(t3[:, 0])
+            self.tb = jnp.asarray(t3[:, 1])
+            self.tc = jnp.asarray(t3[:, 2])
+        self.lo_cols = jnp.asarray(_pad_rows(lo, 4096)) if lo.size else None
+
+        self.tail_total = 0
+        if tail and (~case_a).any():
+            self.tail_total = count_pattern(
+                rg, clique_plan(k), chunk=4096,
+                tasks=(src[~case_a], dst[~case_a]))
+
+    def _hi_total(self, ta, tb, tc) -> int:
+        if self.k == 4:
+            lohi = _edge_hi_bilinear(self.bm, self.bhh, ta, tb,
+                                     words=self.words,
+                                     hi_words=self.hi_words,
+                                     slab=self.slab)
+        else:
+            lohi = _tri_hi_bilinear(self.bm, self.core, self.bhh,
+                                    ta, tb, tc, words=self.words,
+                                    hi_words=self.hi_words, slab=self.slab)
+        lohi = np.asarray(lohi, dtype=np.int64)
+        return int(lohi[:, 0].sum() + (lohi[:, 1].sum() << 16))
+
+    def _lo_total(self) -> int:
+        if self.lo_cols is None:
+            return 0
+        parts = _lo_popcount(self.bm, self.core, self.lo_cols,
+                             words=self.words, chunk=4096,
+                             nrow=int(self.lo_cols.shape[1]))
+        return int(np.asarray(parts, dtype=np.int64).sum())
+
+    def count(self) -> int:
+        return (self._hi_total(self.ta, self.tb, self.tc)
+                + self._lo_total() + self.tail_total)
+
+    def timed_slope(self, samples: int = 3):
+        """Marginal k-clique edge throughput via the full-vs-half slope over
+        the hi-bilinear pass (the dominant term; see stream.timed_slope)."""
+        import time
+        n = self.ta.shape[0]
+        nh = max(self.slab, n // 2 // self.slab * self.slab)
+        args_f = (self.ta, self.tb, self.tc)
+        args_h = tuple(a[:nh] if a is not None else None for a in args_f)
+        _ = self._hi_total(*args_f)
+        _ = self._hi_total(*args_h)
+        tf, th = [], []
+        for i in range(samples):
+            rolled = tuple(jnp.roll(a, i + 1) if a is not None else None
+                           for a in args_f)
+            t0 = time.time()
+            _ = self._hi_total(*rolled)
+            tf.append(time.time() - t0)
+            rolled = tuple(jnp.roll(a, i + 1) if a is not None else None
+                           for a in args_h)
+            t0 = time.time()
+            _ = self._hi_total(*rolled)
+            th.append(time.time() - t0)
+        dt = min(tf) - min(th)
+        # edge-equivalents: tasks for k=4 ARE edges; k=5 tasks are
+        # triangles — report task throughput scaled back to case-A edges
+        full_tasks = self.n_core_edges if self.k == 4 else self.n_tri
+        de = full_tasks - min(nh, full_tasks)
+        scale = self.n_core_edges / max(full_tasks, 1)
+        return {"edges_per_s": de / max(dt, 1e-9) * scale,
+                "tasks_per_s": de / max(dt, 1e-9),
+                "latency_s": min(tf), "times_full": tf, "times_half": th}
+
+
+def cliquek_count_fast(g, k: int, core: int = CORE, hi: int = HI) -> int:
+    """Exact k-clique count (k = 4, 5) via the hi/lo MXU engine."""
+    return CliqueKEngine(g, k, core=core, hi=hi).count()

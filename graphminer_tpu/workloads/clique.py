@@ -14,15 +14,16 @@ def clique_count(g, k: int, chunk: int = 1024, backend: str = "auto",
                  fast: bool = False) -> int:
     """Exact k-clique count.
 
-    fast=True routes k=4 through the MXU wedge-Gram engine
-    (ops/clique4.py — the clique4_warp_edge.cuh analogue) and k=3 through
-    the stream engine; other k use the plan-interpreting frontier."""
+    fast=True routes k=4,5 through the hi/lo-split MXU clique engine
+    (ops/cliquek.py — the clique4/5_warp_edge.cuh analogue) and k=3
+    through the stream engine; other k use the plan-interpreting
+    frontier."""
     assert k >= 3
     if fast and not g.is_dag:
         if k == 3:
             from ..ops.stream import triangle_count_stream
             return triangle_count_stream(g)
-        if k == 4:
-            from ..ops.clique4 import clique4_count_fast
-            return clique4_count_fast(g)
+        if k in (4, 5):
+            from ..ops.cliquek import cliquek_count_fast
+            return cliquek_count_fast(g, k)
     return count_pattern(g, clique_plan(k), chunk=chunk, backend=backend)

@@ -33,15 +33,19 @@ def _comb3(x):
     return x * (x - 1) * (x - 2) // 6
 
 
-def motif3_count(g, chunk: int = 4096) -> Dict[str, int]:
+def motif3_count(g, chunk: int = 4096, fast: bool = False) -> Dict[str, int]:
     """Induced 3-motifs: wedges = Σ C(d,2) − 3T, triangles = T."""
-    t = triangle_count(g, chunk=chunk)
+    if fast:
+        from ..ops.ring import triangle_count_ring
+        t = triangle_count_ring(g)
+    else:
+        t = triangle_count(g, chunk=chunk)
     d = g.degrees().astype(np.int64)
     wedges = int(_comb2(d).sum()) - 3 * t
     return {"wedge": wedges, "triangle": t}
 
 
-def motif4_count(g, chunk: int = 2048) -> Dict[str, int]:
+def motif4_count(g, chunk: int = 2048, fast: bool = False) -> Dict[str, int]:
     """Induced 4-motifs via pattern decomposition.
 
     Non-induced building blocks:
@@ -51,22 +55,38 @@ def motif4_count(g, chunk: int = 2048) -> Dict[str, int]:
       tt_ni      = Σ_v t_v (d_v − 2)
       p4_ni      = Σ_e (d_u−1)(d_v−1) − 3T
       s3_ni      = Σ_v C(d_v, 3)
-    then invert the containment matrix (verified against brute force)."""
-    d = g.degrees().astype(np.int64)
-    src, dst = g.edge_list(sym_break=True)
+    then invert the containment matrix (verified against brute force).
 
-    tri_e = np.asarray(triangles_per_edge(g, src, dst, chunk=chunk),
-                       dtype=np.int64)
+    fast=True rides the fast engines for the expensive terms: tri_e from
+    the hi/lo-core tri-support pass (ops/tri_support.py) and K4 from the
+    hi/lo MXU clique engine (ops/cliquek.py). All degree/tri formulas are
+    relabel-invariant, so they are evaluated in tri_support's
+    degree-ascending id space (d = sorted degrees)."""
+    if fast:
+        from ..ops.cliquek import cliquek_count_fast
+        from ..ops.tri_support import tri_support
+        ts = tri_support(g)
+        src, dst = ts.src, ts.dst
+        tri_e = ts.tri.astype(np.int64)
+        d = np.sort(g.degrees().astype(np.int64))   # ascending relabel
+        nv = ts.n_vertices
+        k4 = cliquek_count_fast(g, 4)
+    else:
+        d = g.degrees().astype(np.int64)
+        nv = g.n_vertices
+        src, dst = g.edge_list(sym_break=True)
+        tri_e = np.asarray(triangles_per_edge(g, src, dst, chunk=chunk),
+                           dtype=np.int64)
+        k4 = count_pattern(g, clique_plan(4), chunk=chunk)
     t_total = int(tri_e.sum()) // 3
 
     # per-vertex triangle participation: each triangle at v contributes to 2
     # of v's incident edges
-    t2 = np.zeros(g.n_vertices, dtype=np.int64)
+    t2 = np.zeros(nv, dtype=np.int64)
     np.add.at(t2, src, tri_e)
     np.add.at(t2, dst, tri_e)
     t_v = t2 // 2
 
-    k4 = count_pattern(g, clique_plan(4), chunk=chunk)
     c4_ni = count_pattern(g, RECTANGLE, chunk=chunk)
 
     diamond_ni = int(_comb2(tri_e).sum())
@@ -233,11 +253,12 @@ def motif5_count(g, chunk: int = 2048) -> Dict[str, int]:
     return out
 
 
-def motif_count(g, k: int, chunk: int = 2048) -> Dict[str, int]:
+def motif_count(g, k: int, chunk: int = 2048,
+                fast: bool = False) -> Dict[str, int]:
     if k == 3:
-        return motif3_count(g, chunk=chunk)
+        return motif3_count(g, chunk=chunk, fast=fast)
     if k == 4:
-        return motif4_count(g, chunk=chunk)
+        return motif4_count(g, chunk=chunk, fast=fast)
     if k == 5:
         return motif5_count(g, chunk=chunk)
     raise NotImplementedError(f"k={k} motifs not yet supported (have 3, 4, 5)")

@@ -41,3 +41,12 @@ def test_motif4_vs_oracle(rand_graphs):
 def test_motif6_not_implemented(citeseer):
     with pytest.raises(NotImplementedError):
         motif_count(citeseer, 6)
+
+
+def test_citeseer_motif4_fast_golden(citeseer):
+    # fast=True rides tri_support + cliquek; identical induced vector
+    assert motif_count(citeseer, 4, fast=True) == CITESEER_MOTIF4
+
+
+def test_citeseer_motif3_fast(citeseer):
+    assert motif_count(citeseer, 3, fast=True)["triangle"] == 1166
