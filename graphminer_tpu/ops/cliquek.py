@@ -79,20 +79,28 @@ def _core_bitmaps(rg, cs: int, c: int, words: int):
 
 def _enum_tasks(bm: np.ndarray, core: np.ndarray, inb: np.ndarray,
                 ea: np.ndarray, eb: np.ndarray, c: int, lo_cut: int,
-                k: int):
+                hi_words: int, k: int):
     """Chunked host enumeration over case-A edges.
 
-    Returns (tri, lo) where
-      tri: k=5 only — int32 [T, 3] triangle tasks (a, b, c_core_local)
-      lo : int32 [L, k-1] sparse lo tasks (k=4: (a,b,d); k=5: (a,b,c,d)),
-           d = core-local id below the word-aligned hi cut `lo_cut`."""
+    Returns (y2hi, tri, lo) where
+      y2hi: int32 [n_edges, hi_words] — the hi-region slice of
+            y₂ = CB[a] & CB[b] per case-A edge, MATERIALIZED so the
+            count-time hi bilinear reads it sequentially (zero gathers for
+            k=4, one aligned row gather for k=5; a column-sliced gather
+            from the [V, words] table measured 50× the aligned gather wall)
+      tri : k=5 only — int32 [T, 2] triangle tasks (edge_row, c_core_local)
+      lo  : int32 [L, k-1] sparse lo tasks (k=4: (a,b,d); k=5: (a,b,c,d)),
+            d = core-local id below the word-aligned hi cut `lo_cut`."""
+    words = bm.shape[1]
+    y2hi = np.empty((ea.shape[0], hi_words), dtype=np.uint32)
     tri_parts, lo_parts = [], []
-    if k == 4 and lo_cut == 0:
-        return (np.zeros((0, 3), np.int32), np.zeros((0, k - 1), np.int32))
     for s in range(0, ea.shape[0], CHUNK_EDGES):
         a = ea[s:s + CHUNK_EDGES].astype(np.int64)
         b = eb[s:s + CHUNK_EDGES].astype(np.int64)
         y2 = bm[a] & bm[b]
+        y2hi[s:s + CHUNK_EDGES] = y2[:, words - hi_words:]
+        if k == 4 and lo_cut == 0:
+            continue
         if k == 4:      # only the lo words are ever enumerated
             bits = np.unpackbits(y2[:, : lo_cut // 32].view(np.uint8),
                                  axis=1, bitorder="little")
@@ -102,7 +110,7 @@ def _enum_tasks(bm: np.ndarray, core: np.ndarray, inb: np.ndarray,
         if k == 5:
             ei, cl = np.nonzero(bits[:, :c])
             tri_parts.append(np.stack(
-                [a[ei], b[ei], cl.astype(np.int64)], axis=1))
+                [s + ei, cl.astype(np.int64)], axis=1))
         if lo_cut > 0:
             ei, dl = np.nonzero(bits[:, :lo_cut])
             if k == 4:
@@ -121,7 +129,7 @@ def _enum_tasks(bm: np.ndarray, core: np.ndarray, inb: np.ndarray,
         if not parts:
             return np.zeros((0, width), dtype=np.int32)
         return np.concatenate(parts).astype(np.int32)
-    return cat(tri_parts, 3), cat(lo_parts, k - 1)
+    return y2hi.view(np.int32), cat(tri_parts, 2), cat(lo_parts, k - 1)
 
 
 # --------------------------------------------------------------------------
@@ -144,21 +152,15 @@ def _hi_adj_bf16(core_dev, *, words: int, hi_words: int):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("words", "hi_words", "slab"))
-def _edge_hi_bilinear(bm, bhh, src, dst, *, words: int, hi_words: int,
-                      slab: int):
-    """k=4 hi part: Σ_e q_hh(y₂_hi) → int32 [n_slabs, 2] lo/hi-16 sums."""
-    v = bm.shape[0]
+@functools.partial(jax.jit, static_argnames=("hi_words", "slab"))
+def _edge_hi_bilinear(y2hi, bhh, *, hi_words: int, slab: int):
+    """k=4 hi part: Σ_e q_hh(y₂_hi) → int32 [n_slabs, 2] lo/hi-16 sums.
+    y2hi: [n, hi_words] MATERIALIZED per-edge hi slices — the slab loop is
+    a pure sequential stream + MXU dot (no gathers at all)."""
     hi = hi_words * 32
-    ss = src.reshape(-1, slab)
-    dd = dst.reshape(-1, slab)
+    rows = y2hi.reshape(-1, slab, hi_words)
 
-    def body(xs):
-        s, d = xs
-        ok = (s >= 0) & (s < v) & (d >= 0) & (d < v)
-        ya = bm[jnp.where(ok, s, 0), words - hi_words:]
-        yb = bm[jnp.where(ok, d, 0), words - hi_words:]
-        y = jnp.where(ok[:, None], ya & yb, 0)
+    def body(y):
         x = _expand_bits(y, hi)
         z = jax.lax.dot_general(x, bhh, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -166,27 +168,28 @@ def _edge_hi_bilinear(bm, bhh, src, dst, *, words: int, hi_words: int,
         return jnp.stack([jnp.sum(per & 0xFFFF, dtype=jnp.int32),
                           jnp.sum(per >> 16, dtype=jnp.int32)])
 
-    return jax.lax.map(body, (ss, dd))
+    return jax.lax.map(body, rows)
 
 
-@functools.partial(jax.jit, static_argnames=("words", "hi_words", "slab"))
-def _tri_hi_bilinear(bm, core_dev, bhh, ta, tb, tc, *, words: int,
-                     hi_words: int, slab: int):
-    """k=5 hi part: Σ_t q_hh(y₃_hi), y₃ = CB[a] & CB[b] & C[c]."""
-    v = bm.shape[0]
-    c = core_dev.shape[0]
+@functools.partial(jax.jit, static_argnames=("hi_words", "slab"))
+def _tri_hi_bilinear(y2hi_tab, core_hi, bhh, trow, tcl, *, hi_words: int,
+                     slab: int):
+    """k=5 hi part: Σ_t q_hh(y₃_hi), y₃_hi = y2hi[edge_row] & C_hi[c].
+    Both gathers are full aligned rows from dedicated [*, hi_words]
+    tables (a column-sliced gather from the [V, words] table measured
+    ~1.2 µs/row — 50× the aligned gather wall)."""
+    ne = y2hi_tab.shape[0]
+    c = core_hi.shape[0]
     hi = hi_words * 32
-    aa = ta.reshape(-1, slab)
-    bb = tb.reshape(-1, slab)
-    cc = tc.reshape(-1, slab)
+    rr = trow.reshape(-1, slab)
+    cc = tcl.reshape(-1, slab)
 
     def body(xs):
-        a, b, cl = xs
-        ok = (a >= 0) & (a < v) & (cl >= 0) & (cl < c)
-        ya = bm[jnp.where(ok, a, 0), words - hi_words:]
-        yb = bm[jnp.where(ok & (b >= 0), b, 0), words - hi_words:]
-        yc = core_dev[jnp.where(ok, cl, 0), words - hi_words:]
-        y = jnp.where(ok[:, None], ya & yb & yc, 0)
+        r, cl = xs
+        ok = (r >= 0) & (r < ne) & (cl >= 0) & (cl < c)
+        ya = y2hi_tab[jnp.where(ok, r, 0)]
+        yc = core_hi[jnp.where(ok, cl, 0)]
+        y = jnp.where(ok[:, None], ya & yc, 0)
         x = _expand_bits(y, hi)
         z = jax.lax.dot_general(x, bhh, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -194,7 +197,7 @@ def _tri_hi_bilinear(bm, core_dev, bhh, ta, tb, tc, *, words: int,
         return jnp.stack([jnp.sum(per & 0xFFFF, dtype=jnp.int32),
                           jnp.sum(per >> 16, dtype=jnp.int32)])
 
-    return jax.lax.map(body, (aa, bb, cc))
+    return jax.lax.map(body, (rr, cc))
 
 
 @functools.partial(jax.jit, static_argnames=("words", "chunk", "nrow"))
@@ -266,22 +269,27 @@ class CliqueKEngine:
 
         self.bm = jnp.asarray(bm.view(np.int32))
         self.core = jnp.asarray(core_np.view(np.int32))
+        # dedicated aligned hi-slice core table (column-sliced gathers from
+        # the full-width table hit a 50×-slower misaligned path — measured)
+        self.core_hi = jnp.asarray(
+            np.ascontiguousarray(core_np[:, words - self.hi_words:])
+            .view(np.int32))
         self.bhh = _hi_adj_bf16(self.core, words=words,
                                 hi_words=self.hi_words)
 
-        tri, lo = _enum_tasks(bm, core_np, inb, ea, eb, c, lo_cut, k)
+        y2hi, tri, lo = _enum_tasks(bm, core_np, inb, ea, eb, c, lo_cut,
+                                    self.hi_words, k)
         self.n_tri = int(tri.shape[0])
         self.n_lo = int(lo.shape[0])
         if k == 4:
-            e2 = _pad_rows(np.stack([ea, eb], axis=1).astype(np.int32), slab)
-            self.ta = jnp.asarray(e2[:, 0])
-            self.tb = jnp.asarray(e2[:, 1])
-            self.tc = None
+            self.y2hi = jnp.asarray(_pad_rows(y2hi, slab, fill=0))
+            self.trow = self.tcl = None
         else:
-            t3 = _pad_rows(tri, slab)
-            self.ta = jnp.asarray(t3[:, 0])
-            self.tb = jnp.asarray(t3[:, 1])
-            self.tc = jnp.asarray(t3[:, 2])
+            self.y2hi = jnp.asarray(y2hi) if y2hi.size else \
+                jnp.zeros((1, self.hi_words), jnp.int32)
+            t2 = _pad_rows(tri, slab)
+            self.trow = jnp.asarray(t2[:, 0])
+            self.tcl = jnp.asarray(t2[:, 1])
         self.lo_cols = jnp.asarray(_pad_rows(lo, 4096)) if lo.size else None
 
         self.tail_total = 0
@@ -290,18 +298,33 @@ class CliqueKEngine:
                 rg, clique_plan(k), chunk=4096,
                 tasks=(src[~case_a], dst[~case_a]))
 
-    def _hi_total(self, ta, tb, tc) -> int:
-        if self.k == 4:
-            lohi = _edge_hi_bilinear(self.bm, self.bhh, ta, tb,
-                                     words=self.words,
-                                     hi_words=self.hi_words,
-                                     slab=self.slab)
-        else:
-            lohi = _tri_hi_bilinear(self.bm, self.core, self.bhh,
-                                    ta, tb, tc, words=self.words,
-                                    hi_words=self.hi_words, slab=self.slab)
-        lohi = np.asarray(lohi, dtype=np.int64)
-        return int(lohi[:, 0].sum() + (lohi[:, 1].sum() << 16))
+    # tasks per dispatch: long-running single dispatches trip the remote
+    # runtime's RPC deadline (observed: a ~40k-slab k=5 dispatch killed the
+    # worker); host-chunking bounds each dispatch.
+    DISPATCH_TASKS = 16 << 20
+
+    def _hi_total(self, *args) -> int:
+        total = 0
+        step = round_up(self.DISPATCH_TASKS, self.slab)
+        n = args[0].shape[0]
+        for s in range(0, n, step):
+            if self.k == 4:
+                (y2hi,) = args
+                lohi = _edge_hi_bilinear(y2hi[s:s + step], self.bhh,
+                                         hi_words=self.hi_words,
+                                         slab=self.slab)
+            else:
+                trow, tcl = args
+                lohi = _tri_hi_bilinear(self.y2hi, self.core_hi, self.bhh,
+                                        trow[s:s + step], tcl[s:s + step],
+                                        hi_words=self.hi_words,
+                                        slab=self.slab)
+            lohi = np.asarray(lohi, dtype=np.int64)
+            total += int(lohi[:, 0].sum() + (lohi[:, 1].sum() << 16))
+        return total
+
+    def _hi_args(self):
+        return (self.y2hi,) if self.k == 4 else (self.trow, self.tcl)
 
     def _lo_total(self) -> int:
         if self.lo_cols is None:
@@ -312,39 +335,43 @@ class CliqueKEngine:
         return int(np.asarray(parts, dtype=np.int64).sum())
 
     def count(self) -> int:
-        return (self._hi_total(self.ta, self.tb, self.tc)
+        return (self._hi_total(*self._hi_args())
                 + self._lo_total() + self.tail_total)
 
     def timed_slope(self, samples: int = 3):
         """Marginal k-clique edge throughput via the full-vs-half slope over
         the hi-bilinear pass (the dominant term; see stream.timed_slope)."""
         import time
-        n = self.ta.shape[0]
+        args_f = self._hi_args()
+        n = args_f[0].shape[0]
         nh = max(self.slab, n // 2 // self.slab * self.slab)
-        args_f = (self.ta, self.tb, self.tc)
-        args_h = tuple(a[:nh] if a is not None else None for a in args_f)
+        args_h = tuple(a[:nh] for a in args_f)
         _ = self._hi_total(*args_f)
         _ = self._hi_total(*args_h)
         tf, th = [], []
         for i in range(samples):
-            rolled = tuple(jnp.roll(a, i + 1) if a is not None else None
-                           for a in args_f)
             t0 = time.time()
-            _ = self._hi_total(*rolled)
+            _ = self._hi_total(*(jnp.roll(a, i + 1, axis=0)
+                                 for a in args_f))
             tf.append(time.time() - t0)
-            rolled = tuple(jnp.roll(a, i + 1) if a is not None else None
-                           for a in args_h)
             t0 = time.time()
-            _ = self._hi_total(*rolled)
+            _ = self._hi_total(*(jnp.roll(a, i + 1, axis=0)
+                                 for a in args_h))
             th.append(time.time() - t0)
         dt = min(tf) - min(th)
         # edge-equivalents: tasks for k=4 ARE edges; k=5 tasks are
         # triangles — report task throughput scaled back to case-A edges
         full_tasks = self.n_core_edges if self.k == 4 else self.n_tri
         de = full_tasks - min(nh, full_tasks)
+        if dt < 0.1 * min(tf):
+            # slope washed out by fixed dispatch costs — report the honest
+            # dispatch-inclusive rate instead of an inflated quotient
+            tasks_per_s = full_tasks / min(tf)
+        else:
+            tasks_per_s = de / dt
         scale = self.n_core_edges / max(full_tasks, 1)
-        return {"edges_per_s": de / max(dt, 1e-9) * scale,
-                "tasks_per_s": de / max(dt, 1e-9),
+        return {"edges_per_s": tasks_per_s * scale,
+                "tasks_per_s": tasks_per_s,
                 "latency_s": min(tf), "times_full": tf, "times_half": th}
 
 
