@@ -68,8 +68,22 @@ except Exception:  # pragma: no cover
 
 def cbucket_partials_pallas(core_bm, src_bm, dst_loc, *, words: int, wc: int,
                             interpret: bool = False):
-    """Phase-C partial sums [n_steps] int32 via the VMEM-core kernel."""
+    """Phase-C partial sums [n_steps] int32 via the VMEM-core kernel.
+
+    Traced with x64 OFF: the package enables global x64 (exact int64 host
+    accumulation), but under x64 the kernel's Python-int index arithmetic
+    promotes to i64 and Mosaic's i64→i32 convert fallback recurses
+    infinitely (observed RecursionError in _convert_element_type_lowering_
+    rule). All kernel math is explicit int32."""
     assert HAVE_PALLAS
+    with jax.enable_x64(False):
+        return _cbucket_partials_pallas_x32(
+            core_bm, src_bm, dst_loc, words=words, wc=wc,
+            interpret=interpret)
+
+
+def _cbucket_partials_pallas_x32(core_bm, src_bm, dst_loc, *, words: int,
+                                 wc: int, interpret: bool = False):
     n = src_bm.shape[0]
     npad = cdiv(n, BLK) * BLK
     if npad > n:

@@ -8,12 +8,17 @@ canonical.h is_min). TPU redesign, per the reference's own GPU structure
 * the pattern-space search runs on the host as BFS growth with canonical
   dedup (core/pattern_graph.py replaces DFS-code minimality — exact for the
   small patterns FSM explores);
-* embedding lists are DEVICE-RESIDENT padded int32 buffers [cap, nv] with a
+* embedding lists are DEVICE-RESIDENT padded int32 buffers [nv, cap] with a
   host-side live count — the analogue of the reference's bounded emb blocks
-  (gpu_base.cu:454-460, emb_block = 640*128). Extension runs as a
-  fori_loop over fixed-size blocks: gather → mask → compact → scatter-append
-  into the child buffer, entirely on device; the host never concatenates
-  embeddings (the round-1/2 host-RAM frontier is gone);
+  (gpu_base.cu:454-460, emb_block = 640*128). The TRANSPOSED (struct-of-
+  arrays) layout is deliberate: cap is the lane dimension, so TPU (8, 128)
+  tiling pads the tiny nv axis 8-deep instead of padding a trailing nv=2..6
+  axis to 128 lanes (measured 16-64x memory blowup of the row layout — an
+  rmat16 run OOM'd at 26 GB for a [51.6M, 1] scatter operand). Extension
+  runs as a fori_loop over fixed-size column blocks: gather → mask →
+  compact → scatter-append into the child buffer, entirely on device; the
+  host never concatenates embeddings (the round-1/2 host-RAM frontier is
+  gone);
 * MNI support = min over pattern vertices of #distinct image vertices,
   computed with a device sort+distinct over the whole resident buffer.
 
@@ -41,17 +46,18 @@ MIN_CAP = 1024        # smallest embedding buffer (power-of-4 ladder)
 
 @dataclasses.dataclass
 class DevEmb:
-    """Device-resident embedding list: SENTINEL-padded [cap, nv] + count."""
+    """Device-resident embedding list: SENTINEL-padded [nv, cap] + count
+    (transposed/SoA — see module docstring)."""
     buf: jax.Array
     n: int
 
     @property
     def cap(self) -> int:
-        return self.buf.shape[0]
+        return self.buf.shape[1]
 
     @property
     def nv(self) -> int:
-        return self.buf.shape[1]
+        return self.buf.shape[0]
 
 
 def _cap_for(n: int) -> int:
@@ -62,10 +68,11 @@ def _cap_for(n: int) -> int:
 
 
 def device_emb(embs: np.ndarray, cap: Optional[int] = None) -> DevEmb:
+    """embs: host [n, nv] rows (natural order) → device [nv, cap] SoA."""
     n = embs.shape[0]
     cap = cap or _cap_for(n)
-    out = np.full((cap, embs.shape[1]), SENTINEL, dtype=np.int32)
-    out[:n] = embs
+    out = np.full((embs.shape[1], cap), SENTINEL, dtype=np.int32)
+    out[:, :n] = embs.T
     return DevEmb(buf=jnp.asarray(out), n=n)
 
 
@@ -73,43 +80,48 @@ def device_emb(embs: np.ndarray, cap: Optional[int] = None) -> DevEmb:
 # device kernels
 # --------------------------------------------------------------------------
 
+def _blk_for(width: int, cap_p: int) -> int:
+    """Power-of-2 column block size capping the per-step candidate volume
+    (blk·width ≤ 2^21) so wide-degree graphs never materialize huge
+    intermediates; powers of two always divide the power-of-4 caps."""
+    b = min(BLOCK, cap_p, max(8, (1 << 21) // max(width, 1)))
+    return 1 << (b.bit_length() - 1)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("width", "nv", "cap_p", "cap_c"))
 def _forward_extend_dev(dg: DeviceGraph, vlab, buf_p, n_p, at, label, *,
                         width: int, nv: int, cap_p: int, cap_c: int):
     """All-block forward extension: attach a `label` neighbor at position
-    `at` of every live embedding. Returns (child buffer [cap_c, nv+1],
-    child count — may exceed cap_c, signalling overflow; extra rows are
+    `at` of every live embedding. Returns (child buffer [nv+1, cap_c],
+    child count — may exceed cap_c, signalling overflow; extra columns are
     dropped, caller retries with a bigger cap)."""
-    blk_sz = min(BLOCK, cap_p)
+    blk_sz = _blk_for(width, cap_p)
     n_blocks = max(1, cap_p // blk_sz)
-    init = jnp.full((cap_c, nv + 1), SENTINEL, jnp.int32)
+    init = jnp.full((nv + 1, cap_c), SENTINEL, jnp.int32)
 
     def step(i, carry):
         buf_c, off = carry
-        blk = jax.lax.dynamic_slice(buf_p, (i * blk_sz, 0), (blk_sz, nv))
-        ridx = i * blk_sz + jax.lax.broadcasted_iota(jnp.int32, (blk_sz, 1),
-                                                     0)[:, 0]
+        blk = jax.lax.dynamic_slice(buf_p, (0, i * blk_sz), (nv, blk_sz))
+        ridx = i * blk_sz + jax.lax.iota(jnp.int32, blk_sz)
         live = ridx < n_p
-        anchors = jnp.where(live, jnp.take_along_axis(
-            blk, jnp.full((blk_sz, 1), at, jnp.int32), axis=1)[:, 0],
-            SENTINEL)
+        anchors = jnp.where(live, jnp.take(blk, at, axis=0), SENTINEL)
         rows = dg.gather_rows(anchors, width)                 # [blk_sz, W]
         ok = rows != SENTINEL
         lab = vlab[jnp.clip(rows, 0, vlab.shape[0] - 1)]
         ok &= lab == label
         # vertex-distinct embeddings (subgraph isomorphism)
-        ok &= ~jnp.any(rows[:, :, None] == blk[:, None, :], axis=-1)
+        ok &= ~jnp.any(rows[None, :, :] == blk[:, :, None], axis=0)
         cand = jnp.where(ok & live[:, None], rows, SENTINEL)
-        flat = cand.reshape(-1)
+        flat = cand.reshape(-1)                               # [blk_sz * W]
         mask = flat != SENTINEL
         pos = jnp.cumsum(mask) - 1
         m = jnp.sum(mask, dtype=jnp.int32)
         parents = jax.lax.broadcasted_iota(
             jnp.int32, (blk_sz, width), 0).reshape(-1)
-        child = jnp.concatenate([blk[parents], flat[:, None]], axis=1)
+        child = jnp.concatenate([blk[:, parents], flat[None, :]], axis=0)
         tgt = jnp.where(mask, off + pos, cap_c)               # drop overflow
-        buf_c = buf_c.at[tgt].set(child, mode="drop")
+        buf_c = buf_c.at[:, tgt].set(child, mode="drop")
         return buf_c, off + m
 
     buf_c, n_c = jax.lax.fori_loop(0, n_blocks, step, (init, jnp.int32(0)))
@@ -120,31 +132,43 @@ def _forward_extend_dev(dg: DeviceGraph, vlab, buf_p, n_p, at, label, *,
 def _backward_filter_dev(dg: DeviceGraph, buf, n, p, q, *, width: int,
                          nv: int, cap: int):
     """Keep embeddings where graph edge (emb[p], emb[q]) exists; compacts
-    in place (same capacity). Returns (buffer, count)."""
-    ridx = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
-    live = ridx < n
-    vp = jnp.take_along_axis(buf, jnp.full((cap, 1), p, jnp.int32), 1)[:, 0]
-    vq = jnp.take_along_axis(buf, jnp.full((cap, 1), q, jnp.int32), 1)[:, 0]
-    rows = dg.gather_rows(jnp.where(live, vp, SENTINEL), width)
-    ok = setops.connected(vq, rows) & live
-    pos = jnp.cumsum(ok) - 1
-    m = jnp.sum(ok, dtype=jnp.int32)
-    tgt = jnp.where(ok, pos, cap)
-    out = jnp.full((cap, nv), SENTINEL, jnp.int32).at[tgt].set(buf,
-                                                               mode="drop")
-    return out, m
+    into a fresh same-capacity buffer. Returns (buffer, count). Blocked
+    over columns like the forward pass so the [blk, width] adjacency
+    gather stays bounded on wide-degree graphs."""
+    blk_sz = _blk_for(width, cap)
+    n_blocks = max(1, cap // blk_sz)
+    init = jnp.full((nv, cap), SENTINEL, jnp.int32)
+
+    def step(i, carry):
+        out, off = carry
+        blk = jax.lax.dynamic_slice(buf, (0, i * blk_sz), (nv, blk_sz))
+        ridx = i * blk_sz + jax.lax.iota(jnp.int32, blk_sz)
+        live = ridx < n
+        vp = jnp.take(blk, p, axis=0)
+        vq = jnp.take(blk, q, axis=0)
+        rows = dg.gather_rows(jnp.where(live, vp, SENTINEL), width)
+        ok = setops.connected(vq, rows) & live
+        pos = jnp.cumsum(ok) - 1
+        m = jnp.sum(ok, dtype=jnp.int32)
+        tgt = jnp.where(ok, off + pos, cap)
+        out = out.at[:, tgt].set(blk, mode="drop")
+        return out, off + m
+
+    out, n_c = jax.lax.fori_loop(0, n_blocks, step, (init, jnp.int32(0)))
+    return out, n_c
 
 
 @jax.jit
 def _mni_support_device(buf: jax.Array):
-    """Min over columns of #distinct values (ignoring SENTINEL padding) —
-    the MNI domain support (domain_support.h:6-74) without materialized
-    per-pattern Bitsets: sort+distinct per column on device."""
-    s = jnp.sort(buf, axis=0)
+    """Min over pattern vertices of #distinct image vertices (ignoring
+    SENTINEL padding) — the MNI domain support (domain_support.h:6-74)
+    without materialized per-pattern Bitsets: sort+distinct per row of the
+    [nv, cap] SoA buffer on device."""
+    s = jnp.sort(buf, axis=1)
     valid = s != SENTINEL
     first = valid & jnp.concatenate(
-        [jnp.ones((1, s.shape[1]), bool), s[1:] != s[:-1]], axis=0)
-    return jnp.min(jnp.sum(first, axis=0))
+        [jnp.ones((s.shape[0], 1), bool), s[:, 1:] != s[:, :-1]], axis=1)
+    return jnp.min(jnp.sum(first, axis=1))
 
 
 # --------------------------------------------------------------------------
