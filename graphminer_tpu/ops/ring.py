@@ -166,9 +166,13 @@ def _bucket_by_src(wsrc: np.ndarray, starts: np.ndarray, cols: np.ndarray,
 
 
 def build_ring(g, core: int = CORE, c_classes=C_CLASSES,
-               b_classes=B_CLASSES, t_classes=T_CLASSES) -> RingLayout:
+               b_classes=B_CLASSES, t_classes=T_CLASSES,
+               phases: str = "CT") -> RingLayout:
     """g: undirected host graph (or already-oriented DAG). Relabels
-    ascending by degree, orients, splits tasks into phase C / phase T."""
+    ascending by degree, orients, splits tasks into phase C / phase T.
+
+    phases="C" skips the phase-T structures (the hybrid engine covers
+    sub-core tasks with a materialized stream instead — ops/hybrid.py)."""
     rg = g if g.is_dag else g.relabel_by_degree(descending=False).orientation()
     v = rg.n_vertices
     c = min(core, v)
@@ -211,7 +215,7 @@ def build_ring(g, core: int = CORE, c_classes=C_CLASSES,
     tail_tables = []
     bm_table = None
     n_b_tasks = 0
-    if tsrc.size:
+    if tsrc.size and "T" in phases:
         # DENSE bitmap table: only vertices with a non-zero core bitmap
         # (the csrc set) have rows — dst slots store the csrc RANK, and
         # tasks whose dst has an all-zero bitmap (contribute 0) are dropped

@@ -120,10 +120,15 @@ def _materialize(table, dsts, src_idx, *, width: int, words: int, wtv: int,
 
 
 def build_stream(g, core: int = 4096, classes=WIDTH_CLASSES,
-                 wtv_classes=WTV_CLASSES) -> StreamLayout:
+                 wtv_classes=WTV_CLASSES,
+                 dst_below: Optional[int] = None) -> StreamLayout:
     """g: undirected host graph (or an already-oriented DAG). Relabels
     ascending by degree, orients, builds the HubLayout and the bucketed
-    reverse-CSR stream."""
+    reverse-CSR stream.
+
+    dst_below: keep only tasks with dst id < dst_below (the hybrid engine
+    materializes just the sub-core tasks this way and routes core-dst tasks
+    through the ring phase-C table — ops/hybrid.py)."""
     if g.is_dag:
         rg = g
     else:
@@ -134,6 +139,9 @@ def build_stream(g, core: int = 4096, classes=WIDTH_CLASSES,
     deg = np.diff(rg.rowptr).astype(np.int64)
     src = np.repeat(np.arange(v, dtype=np.int64), deg).astype(np.int32)
     dst = rg.colidx.astype(np.int32)
+    if dst_below is not None:
+        keep = dst < dst_below
+        src, dst = src[keep], dst[keep]
 
     # reverse CSR: tasks sorted by dst, then src
     order = np.lexsort((src, dst))
@@ -155,46 +163,67 @@ def build_stream(g, core: int = 4096, classes=WIDTH_CLASSES,
     wtv_of = np.where(twd > wtv_top, lay.wt_pad,
                       np.asarray(wtv_classes)[idx])
 
+    # per-row max src-tail class (only relevant where the dst has a tail):
+    # rows are sub-bucketed by it so a single wide-tailed src does not
+    # inflate wta for every row in its (width, wtv) bucket — without this,
+    # a sub-core-only stream (ops/hybrid.py) measured 17 GB on rmat20 vs
+    # ~3 GB with per-row classes.
+    row_wta = np.zeros(rd.shape[0], dtype=np.int64)
+    need_wta = wtv_of > 0
+    if need_wta.any() and src_o.size:
+        # rows are contiguous ascending segments of the flat task list, so
+        # segment maxima come from one vectorized reduceat
+        tails = lay.t_width[src_o].astype(np.int64)
+        row_wta = np.maximum.reduceat(tails, np.minimum(
+            rstart, tails.shape[0] - 1))
+    wta_classes = (0, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+    wta_cl = np.asarray(wta_classes)[np.clip(
+        np.searchsorted(wta_classes, row_wta, side="left"), 0,
+        len(wta_classes) - 1)]
+    wta_cl = np.where(row_wta > wta_classes[-1],
+                      round_up(int(row_wta.max(initial=1)), 8), wta_cl)
+    wta_cl = np.where(need_wta, wta_cl, 0)
+
     buckets = []
     for wc in classes:
         for wtvc in sorted(set(wtv_of.tolist())):
-            m = (wclass == wc) & (wtv_of == wtvc)
-            if not m.any():
-                continue
-            n_d = int(m.sum())
-            si = np.full((n_d, wc), SENTINEL, dtype=np.int32)
-            starts_b, lens_b = rstart[m], rlen[m]
-            flat_pos = (starts_b[:, None]
-                        + np.arange(wc, dtype=np.int64)[None, :])
-            valid = np.arange(wc)[None, :] < lens_b[:, None]
-            si[valid] = src_o[flat_pos[valid]]
-            # src T slots: trimmed to this bucket's max actual src tail;
-            # irrelevant when the dst side has no tail (intersection empty)
-            wta = 0
-            if wtvc:
-                wta = int(round_up(max(1, lay.t_width[si[valid]].max(
-                    initial=0)), 8))
-            # pad n_dst to a sublane multiple for clean tiling
-            n_pad = round_up(n_d, 8)
-            dsts_b = np.pad(rd[m], (0, n_pad - n_d),
-                            constant_values=0).astype(np.int32)
-            si = np.pad(si, ((0, n_pad - n_d), (0, 0)),
-                        constant_values=SENTINEL)
-            dst_rows, src_rows = _materialize(
-                lay.table, jnp.asarray(dsts_b), jnp.asarray(si),
-                width=wc, words=lay.words, wtv=int(wtvc), wta=wta)
-            # padded dst rows may alias vertex 0; zero their bitmap+T so they
-            # cannot pair with padded src slots
-            if n_pad > n_d:
-                dst_rows = dst_rows.at[n_d:].set(
-                    jnp.where(jnp.arange(dst_rows.shape[1]) < lay.words,
-                              0, SENTINEL))
-            rt = np.zeros(n_pad, dtype=np.int32)
-            rt[:n_d] = lens_b
-            buckets.append(Bucket(width=wc, wtv=int(wtvc), wta=wta,
-                                  n_dst=n_pad, dst_rows=dst_rows,
-                                  src_rows=src_rows,
-                                  n_tasks=int(lens_b.sum()), row_tasks=rt))
+            for wtac in sorted(set(wta_cl[(wclass == wc)
+                                          & (wtv_of == wtvc)].tolist())):
+                m = (wclass == wc) & (wtv_of == wtvc) & (wta_cl == wtac)
+                if not m.any():
+                    continue
+                n_d = int(m.sum())
+                si = np.full((n_d, wc), SENTINEL, dtype=np.int32)
+                starts_b, lens_b = rstart[m], rlen[m]
+                flat_pos = (starts_b[:, None]
+                            + np.arange(wc, dtype=np.int64)[None, :])
+                valid = np.arange(wc)[None, :] < lens_b[:, None]
+                si[valid] = src_o[flat_pos[valid]]
+                # src T slots: this row-class's max src tail; irrelevant
+                # when the dst side has no tail (intersection empty)
+                wta = int(round_up(wtac, 8)) if (wtvc and wtac) else 0
+                # pad n_dst to a sublane multiple for clean tiling
+                n_pad = round_up(n_d, 8)
+                dsts_b = np.pad(rd[m], (0, n_pad - n_d),
+                                constant_values=0).astype(np.int32)
+                si = np.pad(si, ((0, n_pad - n_d), (0, 0)),
+                            constant_values=SENTINEL)
+                dst_rows, src_rows = _materialize(
+                    lay.table, jnp.asarray(dsts_b), jnp.asarray(si),
+                    width=wc, words=lay.words, wtv=int(wtvc), wta=wta)
+                # padded dst rows may alias vertex 0; zero their bitmap+T
+                # so they cannot pair with padded src slots
+                if n_pad > n_d:
+                    dst_rows = dst_rows.at[n_d:].set(
+                        jnp.where(jnp.arange(dst_rows.shape[1]) < lay.words,
+                                  0, SENTINEL))
+                rt = np.zeros(n_pad, dtype=np.int32)
+                rt[:n_d] = lens_b
+                buckets.append(Bucket(width=wc, wtv=int(wtvc), wta=wta,
+                                      n_dst=n_pad, dst_rows=dst_rows,
+                                      src_rows=src_rows,
+                                      n_tasks=int(lens_b.sum()),
+                                      row_tasks=rt))
     return StreamLayout(layout=lay, buckets=tuple(buckets),
                         n_tasks=int(dst.shape[0]))
 
