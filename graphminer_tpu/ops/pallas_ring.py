@@ -119,7 +119,8 @@ def ring_partials(layout, carrays, cspec, barrays, bspec, tslot_arrays,
                   tspec, salt, interpret: bool = False):
     """Drop-in for ring._ring_partials with the Pallas phase-C kernel;
     the phase-T bitmap buckets and tail tables stay on the XLA path (the
-    [V, words] bm_table does not fit VMEM; see module docstring)."""
+    dense rank-indexed [len(csrc), words] bm_table does not fit VMEM; see
+    module docstring)."""
     from . import ring as _ring
     outs = []
     for (src_bm, dst_loc), wc in zip(carrays, cspec):

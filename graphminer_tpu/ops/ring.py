@@ -94,15 +94,18 @@ class TBucket:
 @dataclasses.dataclass(frozen=True)
 class RingLayout:
     core_bm: jax.Array   # int32 [C, words] core rows' bitmaps (closed core)
-    bm_table: Optional[jax.Array]  # int32 [V, words] all-vertex core bitmaps
+    # DENSE bitmap table: int32 [len(csrc), words] core bitmaps of only the
+    # vertices with a non-zero core bitmap, indexed by csrc RANK (not global
+    # vertex id); bbucket dst_loc carries rank ids into it
+    bm_table: Optional[jax.Array]
     tail_tables: Tuple[jax.Array, ...]  # per-class [n_k, wt_k] sorted tails
     words: int
     core_start: int
     core_size: int
     cbuckets: Tuple[CBucket, ...]
     # phase-T bitmap pass, grouped BY SRC exactly like phase C: src bitmap
-    # row stored once, GLOBAL dst ids gathered from bm_table — halves the
-    # gather volume vs the earlier flat per-task (src, dst) pair gathers.
+    # row stored once, dst RANK ids gathered from the dense bm_table —
+    # halves the gather volume vs the earlier flat per-task pair gathers.
     # Rows whose src bitmap is all-zero are dropped at build (contribute 0).
     bbuckets: Tuple[CBucket, ...]
     tbuckets: Tuple[TBucket, ...]

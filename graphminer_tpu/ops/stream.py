@@ -182,6 +182,10 @@ def build_stream(g, core: int = 4096, classes=WIDTH_CLASSES,
         len(wta_classes) - 1)]
     wta_cl = np.where(row_wta > wta_classes[-1],
                       round_up(int(row_wta.max(initial=1)), 8), wta_cl)
+    # the ladder rounds UP, so a class can exceed the layout's physical tail
+    # width (wt_pad, a multiple of 8); _materialize slices at most wt_pad
+    # columns, so clamp the class to it (r3 regression: reshape mismatch)
+    wta_cl = np.minimum(wta_cl, lay.wt_pad)
     wta_cl = np.where(need_wta, wta_cl, 0)
 
     buckets = []

@@ -45,8 +45,13 @@ def test_hybrid_memory_between_ring_and_stream():
     eng = HybridEngine(g)
     full_stream = build_stream(g)
     # materializing only the sub-core slice must cost less than the full
-    # stream (the whole point of the tiering)
+    # stream (the whole point of the tiering)...
     assert eng.stream.nbytes() < full_stream.nbytes()
+    # ...and the hybrid total sits strictly between the phase-C-only ring
+    # and phase-C ring + full stream (the tiering bounds)
+    ring_c = build_ring(g, phases="C")
+    assert ring_c.nbytes() < eng.nbytes() < (ring_c.nbytes()
+                                             + full_stream.nbytes())
 
 
 def test_hybrid_salted_partials_same_total():

@@ -49,6 +49,27 @@ def test_salt_permutes_not_changes(rand_graphs):
     assert (np.sort(p0) == np.sort(p1)).all()
 
 
+def test_wta_ladder_off_class_regression():
+    """r3 regression: a row's max src-tail width strictly between wta
+    ladder classes (here 40 ∈ (32, 64)) made the ladder pick a class wider
+    than the layout's physical wt_pad, crashing _materialize's reshape.
+    Hand-built DAG: vertex 0 has 40 sub-core out-neighbors (wt_max = 40 →
+    wt_pad = 40); the (src=0, dst=41) task lands in a wtv>0 bucket whose
+    row_wta = 40 rounds to ladder class 64 > wt_pad without the clamp."""
+    import dataclasses
+    from graphminer_tpu.core.graph import HostGraph
+    src = [0] * 40 + [41, 41]
+    dst = list(range(1, 39)) + [41, 42] + [42, 43]
+    g = HostGraph.from_edges(np.asarray(src), np.asarray(dst), 64)
+    g = dataclasses.replace(g, is_dag=True)
+    from graphminer_tpu.ops.stream import build_stream
+    lay = build_stream(g, core=4).layout
+    assert lay.wt_pad == 40  # off-ladder — the regression trigger
+    eng = StreamEngine(g, core=4)
+    # directed triangles: only 0→41, 0→42, 41→42 closes
+    assert eng.count() == 1
+
+
 def test_task_accounting(citeseer):
     eng = StreamEngine(citeseer, core=128, classes=CLASSES, wtv_classes=WTV)
     assert sum(b.n_tasks for b in eng.stream.buckets) == eng.n_edges
