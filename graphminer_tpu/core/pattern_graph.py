@@ -18,9 +18,15 @@ import numpy as np
 
 @dataclass(frozen=True)
 class PatternGraph:
-    """Connected labeled pattern: vertex labels + undirected edge set."""
+    """Connected labeled pattern: vertex labels + undirected edge set.
+
+    elabels (optional) aligns with `edges` — edge-labeled patterns are the
+    gSpan DFS-code vocabulary (from, to, vlabel, ELABEL, vlabel) of the
+    reference (src/fsm/dfscode.h, omp_base.cc:151-240). Empty () means
+    unlabeled edges; canonical keys of unlabeled patterns are unchanged."""
     vlabels: Tuple[int, ...]                       # label per pattern vertex
     edges: Tuple[Tuple[int, int], ...]             # (u, v) with u < v
+    elabels: Tuple[int, ...] = ()                  # label per edge (or empty)
 
     @property
     def n_vertices(self) -> int:
@@ -42,52 +48,83 @@ class PatternGraph:
     def has_edge(self, u: int, v: int) -> bool:
         return (min(u, v), max(u, v)) in self.edges
 
-    def add_forward(self, at: int, new_label: int) -> "PatternGraph":
-        """Attach a new vertex with new_label to pattern vertex `at`."""
-        nv = self.n_vertices
-        return PatternGraph(self.vlabels + (new_label,),
-                            self.edges + ((at, nv),))
+    def edge_label(self, u: int, v: int) -> int:
+        """Label of edge (u, v); 0 when the pattern is edge-unlabeled."""
+        if not self.elabels:
+            return 0
+        e = (min(u, v), max(u, v))
+        return self.elabels[self.edges.index(e)]
 
-    def add_backward(self, u: int, v: int) -> "PatternGraph":
+    def add_forward(self, at: int, new_label: int,
+                    elabel: Optional[int] = None) -> "PatternGraph":
+        """Attach a new vertex with new_label to pattern vertex `at`,
+        via an edge labeled `elabel` (None keeps the pattern unlabeled)."""
+        nv = self.n_vertices
+        el = self.elabels + (elabel,) if elabel is not None else self.elabels
+        return PatternGraph(self.vlabels + (new_label,),
+                            self.edges + ((at, nv),), el)
+
+    def add_backward(self, u: int, v: int,
+                     elabel: Optional[int] = None) -> "PatternGraph":
         """Add edge between existing pattern vertices."""
         assert not self.has_edge(u, v)
         e = (min(u, v), max(u, v))
-        return PatternGraph(self.vlabels, self.edges + (e,))
+        el = self.elabels + (elabel,) if elabel is not None else self.elabels
+        return PatternGraph(self.vlabels, self.edges + (e,), el)
 
     def canonical_key(self):
         """Brute-force canonical form: min over vertex permutations of the
-        (labels, edges) encoding. Exact for small patterns."""
+        (labels, edges) encoding. Exact for small patterns. Edge-labeled
+        patterns encode each edge as (u, v, elabel); unlabeled keys keep the
+        historical (u, v) form."""
         n = self.n_vertices
         best = None
-        a = self.adjacency()
         for perm in itertools.permutations(range(n)):
             labs = tuple(self.vlabels[p] for p in perm)
             inv = [0] * n
             for newid, old in enumerate(perm):
                 inv[old] = newid
-            es = tuple(sorted((min(inv[u], inv[v]), max(inv[u], inv[v]))
-                              for u, v in self.edges))
+            if self.elabels:
+                es = tuple(sorted(
+                    (min(inv[u], inv[v]), max(inv[u], inv[v]), el)
+                    for (u, v), el in zip(self.edges, self.elabels)))
+            else:
+                es = tuple(sorted((min(inv[u], inv[v]), max(inv[u], inv[v]))
+                                  for u, v in self.edges))
             key = (labs, es)
             if best is None or key < best:
                 best = key
         return best
 
     @staticmethod
-    def from_edges(edges, n_vertices: int, vlabels=None) -> "PatternGraph":
-        es = tuple(sorted((min(u, v), max(u, v)) for u, v in edges))
+    def from_edges(edges, n_vertices: int, vlabels=None,
+                   elabels=None) -> "PatternGraph":
+        pairs = [(min(u, v), max(u, v)) for u, v in edges]
+        if elabels is not None:
+            order = sorted(range(len(pairs)), key=lambda i: pairs[i])
+            es = tuple(pairs[i] for i in order)
+            el = tuple(elabels[i] for i in order)
+        else:
+            es, el = tuple(sorted(pairs)), ()
         vl = tuple(vlabels) if vlabels is not None else (0,) * n_vertices
-        return PatternGraph(vl, es)
+        return PatternGraph(vl, es, el)
 
     def automorphisms(self):
         """All label/edge-preserving vertex permutations."""
         n = self.n_vertices
         a = self.adjacency()
+        el = {e: l for e, l in zip(self.edges, self.elabels)} \
+            if self.elabels else None
         out = []
         for perm in itertools.permutations(range(n)):
             if any(self.vlabels[perm[i]] != self.vlabels[i] for i in range(n)):
                 continue
             ok = all(a[perm[u], perm[v]] == a[u, v]
                      for u in range(n) for v in range(u + 1, n))
+            if ok and el is not None:
+                ok = all(
+                    el[(min(perm[u], perm[v]), max(perm[u], perm[v]))] == l
+                    for (u, v), l in el.items())
             if ok:
                 out.append(perm)
         return out

@@ -89,13 +89,17 @@ def _blk_for(width: int, cap_p: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("width", "nv", "cap_p", "cap_c"))
-def _forward_extend_dev(dg: DeviceGraph, vlab, buf_p, n_p, at, label, *,
-                        width: int, nv: int, cap_p: int, cap_c: int):
+                   static_argnames=("width", "nv", "cap_p", "cap_c",
+                                    "use_elab"))
+def _forward_extend_dev(dg: DeviceGraph, vlab, buf_p, n_p, at, label,
+                        elabel, *, width: int, nv: int, cap_p: int,
+                        cap_c: int, use_elab: bool = False):
     """All-block forward extension: attach a `label` neighbor at position
-    `at` of every live embedding. Returns (child buffer [nv+1, cap_c],
-    child count — may exceed cap_c, signalling overflow; extra columns are
-    dropped, caller retries with a bigger cap)."""
+    `at` of every live embedding, via an edge labeled `elabel` when
+    use_elab (gSpan forward DFS-code step incl. elabel —
+    src/fsm/dfscode.h, omp_base.cc:151-240). Returns (child buffer
+    [nv+1, cap_c], child count — may exceed cap_c, signalling overflow;
+    extra columns are dropped, caller retries with a bigger cap)."""
     blk_sz = _blk_for(width, cap_p)
     n_blocks = max(1, cap_p // blk_sz)
     init = jnp.full((nv + 1, cap_c), SENTINEL, jnp.int32)
@@ -110,6 +114,8 @@ def _forward_extend_dev(dg: DeviceGraph, vlab, buf_p, n_p, at, label, *,
         ok = rows != SENTINEL
         lab = vlab[jnp.clip(rows, 0, vlab.shape[0] - 1)]
         ok &= lab == label
+        if use_elab:
+            ok &= dg.gather_elabel_rows(anchors, width) == elabel
         # vertex-distinct embeddings (subgraph isomorphism)
         ok &= ~jnp.any(rows[None, :, :] == blk[:, :, None], axis=0)
         cand = jnp.where(ok & live[:, None], rows, SENTINEL)
@@ -128,10 +134,13 @@ def _forward_extend_dev(dg: DeviceGraph, vlab, buf_p, n_p, at, label, *,
     return buf_c, n_c
 
 
-@functools.partial(jax.jit, static_argnames=("width", "nv", "cap"))
-def _backward_filter_dev(dg: DeviceGraph, buf, n, p, q, *, width: int,
-                         nv: int, cap: int):
-    """Keep embeddings where graph edge (emb[p], emb[q]) exists; compacts
+@functools.partial(jax.jit,
+                   static_argnames=("width", "nv", "cap", "use_elab"))
+def _backward_filter_dev(dg: DeviceGraph, buf, n, p, q, elabel, *,
+                         width: int, nv: int, cap: int,
+                         use_elab: bool = False):
+    """Keep embeddings where graph edge (emb[p], emb[q]) exists (with
+    label `elabel` when use_elab); compacts
     into a fresh same-capacity buffer. Returns (buffer, count). Blocked
     over columns like the forward pass so the [blk, width] adjacency
     gather stays bounded on wide-degree graphs."""
@@ -146,8 +155,14 @@ def _backward_filter_dev(dg: DeviceGraph, buf, n, p, q, *, width: int,
         live = ridx < n
         vp = jnp.take(blk, p, axis=0)
         vq = jnp.take(blk, q, axis=0)
-        rows = dg.gather_rows(jnp.where(live, vp, SENTINEL), width)
-        ok = setops.connected(vq, rows) & live
+        anchors = jnp.where(live, vp, SENTINEL)
+        rows = dg.gather_rows(anchors, width)
+        if use_elab:
+            el = dg.gather_elabel_rows(anchors, width)
+            hit = (rows == vq[:, None]) & (el == elabel)
+            ok = jnp.any(hit, axis=1) & live
+        else:
+            ok = setops.connected(vq, rows) & live
         pos = jnp.cumsum(ok) - 1
         m = jnp.sum(ok, dtype=jnp.int32)
         tgt = jnp.where(ok, off + pos, cap)
@@ -185,6 +200,29 @@ class _FSM:
         self.width = max_width or max(8, g.max_degree)
         freq = np.bincount(g.vlabels.astype(np.int64))
         self.freq_labels = set(int(l) for l in np.nonzero(freq >= minsup)[0])
+        # edge labels (gSpan DFS codes carry elabels — src/fsm/dfscode.h);
+        # unlabeled-edge graphs run with the single pseudo-label 0
+        self.use_elab = g.elabels is not None
+        # (la, el, lb) la <= lb triples of FREQUENT single-edge patterns,
+        # filled by run(); anti-monotone MNI support makes restricting
+        # every extension edge to these triples exact (omp_base.cc's
+        # frequent-edge pruning)
+        self.freq_triples: set = set()
+
+    def _ext_candidates(self, la: int):
+        """(elabel, other_vlabel) pairs allowed at a vertex labeled la."""
+        out = set()
+        for a, el, b in self.freq_triples:
+            if a == la:
+                out.add((el, b))
+            if b == la:
+                out.add((el, a))
+        return sorted(out)
+
+    def _backward_elabels(self, la: int, lb: int):
+        a, b = min(la, lb), max(la, lb)
+        return sorted(el for (x, el, y) in self.freq_triples
+                      if (x, y) == (a, b))
 
     def support(self, de: DevEmb) -> int:
         if de.n == 0:
@@ -192,38 +230,50 @@ class _FSM:
         return int(_mni_support_device(de.buf))
 
     def initial_patterns(self) -> Dict[str, tuple]:
-        """Frequent single-edge patterns (label pairs la <= lb) +
-        device embeddings; mirrors omp_base.cc:35-100 incl. the
-        frequent-vertex filter."""
+        """Frequent single-edge patterns (vlabel pairs la <= lb, split by
+        edge label when the graph carries elabels) + device embeddings;
+        mirrors omp_base.cc:35-100 incl. the frequent-vertex filter."""
         g = self.g
-        src, dst = g.edge_list()
+        deg = np.diff(g.rowptr)
+        src = np.repeat(np.arange(g.n_vertices, dtype=np.int32), deg)
+        dst = g.colidx.astype(np.int32)
         vl = g.vlabels.astype(np.int32)
         la, lb = vl[src], vl[dst]
+        el = (g.elabels.astype(np.int32) if self.use_elab
+              else np.zeros(src.shape[0], dtype=np.int32))
         keep = la <= lb  # both directions kept when la == lb
         out = {}
-        for a, b in {(int(x), int(y)) for x, y in zip(la[keep], lb[keep])}:
-            m = keep & (la == a) & (lb == b)
+        trips = {(int(x), int(e), int(y))
+                 for x, e, y in zip(la[keep], el[keep], lb[keep])}
+        for a, e, b in trips:
+            m = keep & (la == a) & (lb == b) & (el == e)
             embs = np.stack([src[m], dst[m]], axis=1).astype(np.int32)
-            pat = PatternGraph((a, b), ((0, 1),))
+            pat = PatternGraph((a, b), ((0, 1),),
+                               (e,) if self.use_elab else ())
             out[pat.canonical_key()] = (pat, device_emb(embs))
         return out
 
-    def forward_extend(self, de: DevEmb, at: int, label: int) -> DevEmb:
+    def forward_extend(self, de: DevEmb, at: int, label: int,
+                       elabel: int = 0) -> DevEmb:
         cap_c = _cap_for(max(de.n, 1))
         while True:
             buf, n = _forward_extend_dev(
                 self.dg, self.vlab, de.buf, jnp.int32(de.n),
-                jnp.int32(at), jnp.int32(label), width=self.width,
-                nv=de.nv, cap_p=de.cap, cap_c=cap_c)
+                jnp.int32(at), jnp.int32(label), jnp.int32(elabel),
+                width=self.width, nv=de.nv, cap_p=de.cap, cap_c=cap_c,
+                use_elab=self.use_elab)
             n = int(n)
             if n <= cap_c:
                 return DevEmb(buf=buf, n=n)
             cap_c = _cap_for(n)       # overflow: retry with room
 
-    def backward_filter(self, de: DevEmb, p: int, q: int) -> DevEmb:
+    def backward_filter(self, de: DevEmb, p: int, q: int,
+                        elabel: int = 0) -> DevEmb:
         buf, n = _backward_filter_dev(self.dg, de.buf, jnp.int32(de.n),
                                       jnp.int32(p), jnp.int32(q),
-                                      width=self.width, nv=de.nv, cap=de.cap)
+                                      jnp.int32(elabel),
+                                      width=self.width, nv=de.nv,
+                                      cap=de.cap, use_elab=self.use_elab)
         return DevEmb(buf=buf, n=int(n))
 
     def run(self, k_edges: int) -> int:
@@ -234,6 +284,9 @@ class _FSM:
                     and pat.vlabels[1] in self.freq_labels
                     and self.support(de) >= self.minsup):
                 frontier[key] = (pat, de)
+                la, lb = pat.vlabels
+                el = pat.elabels[0] if pat.elabels else 0
+                self.freq_triples.add((min(la, lb), el, max(la, lb)))
         n_frequent += len(frontier)
         seen = set(frontier.keys())
 
@@ -241,14 +294,16 @@ class _FSM:
             nxt = {}
             for key, (pat, de) in frontier.items():
                 nv = pat.n_vertices
-                # forward: attach a new labeled vertex at any pattern vertex
+                # forward: attach a new labeled vertex at any pattern
+                # vertex, by any frequent (elabel, vlabel) edge there
                 for at in range(nv):
-                    for label in sorted(self.freq_labels):
-                        child = pat.add_forward(at, label)
+                    for el, label in self._ext_candidates(pat.vlabels[at]):
+                        child = pat.add_forward(
+                            at, label, el if self.use_elab else None)
                         ck = child.canonical_key()
                         if ck in seen or ck in nxt:
                             continue
-                        ne = self.forward_extend(de, at, label)
+                        ne = self.forward_extend(de, at, label, el)
                         if ne.n and self.support(ne) >= self.minsup:
                             nxt[ck] = (child, ne)
                 # backward: close a cycle between non-adjacent vertices
@@ -256,13 +311,17 @@ class _FSM:
                     for q in range(p + 1, nv):
                         if pat.has_edge(p, q):
                             continue
-                        child = pat.add_backward(p, q)
-                        ck = child.canonical_key()
-                        if ck in seen or ck in nxt:
-                            continue
-                        ne = self.backward_filter(de, p, q)
-                        if ne.n and self.support(ne) >= self.minsup:
-                            nxt[ck] = (child, ne)
+                        els = self._backward_elabels(pat.vlabels[p],
+                                                     pat.vlabels[q])
+                        for el in els:
+                            child = pat.add_backward(
+                                p, q, el if self.use_elab else None)
+                            ck = child.canonical_key()
+                            if ck in seen or ck in nxt:
+                                continue
+                            ne = self.backward_filter(de, p, q, el)
+                            if ne.n and self.support(ne) >= self.minsup:
+                                nxt[ck] = (child, ne)
             seen |= set(nxt.keys())
             n_frequent += len(nxt)
             frontier = nxt

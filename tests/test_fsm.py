@@ -16,16 +16,22 @@ from graphminer_tpu.workloads.fsm import fsm_count
 
 
 def oracle_fsm(g, k_edges, minsup):
-    """Brute force: discover all connected ≤k-edge patterns present in g,
-    compute MNI support exhaustively, count the frequent ones."""
+    """Brute force: discover all connected ≤k-edge patterns present in g
+    (split by edge label when g carries elabels), compute MNI support
+    exhaustively, count the frequent ones."""
     n = g.n_vertices
     vl = g.vlabels.astype(int)
+    use_el = g.elabels is not None
     deg = np.diff(g.rowptr)
     edges = []
+    e2l = {}
     for v in range(n):
-        for u in g.colidx[g.rowptr[v]:g.rowptr[v + 1]]:
+        for j in range(int(g.rowptr[v]), int(g.rowptr[v + 1])):
+            u = int(g.colidx[j])
+            if use_el:
+                e2l[(v, u)] = int(g.elabels[j])
             if v < u:
-                edges.append((v, int(u)))
+                edges.append((v, u))
 
     def connected(es):
         verts = set()
@@ -53,10 +59,10 @@ def oracle_fsm(g, k_edges, minsup):
                 continue
             verts = sorted({w for e in es for w in e})
             remap = {w: i for i, w in enumerate(verts)}
-            pat = PatternGraph(tuple(int(vl[w]) for w in verts),
-                               tuple(sorted((min(remap[u], remap[v]),
-                                             max(remap[u], remap[v])))
-                                     for u, v in es))
+            pat = PatternGraph.from_edges(
+                [(remap[u], remap[v]) for u, v in es], len(verts),
+                vlabels=[int(vl[w]) for w in verts],
+                elabels=[e2l[(u, v)] for u, v in es] if use_el else None)
             patterns.setdefault(pat.canonical_key(), pat)
 
     # adjacency set for embedding checks
@@ -72,6 +78,10 @@ def oracle_fsm(g, k_edges, minsup):
             if any(vl[tup[i]] != pat.vlabels[i] for i in range(nv)):
                 continue
             if any((tup[u], tup[v]) not in aset for u, v in pat.edges):
+                continue
+            if use_el and any(
+                    e2l[(tup[u], tup[v])] != pat.elabels[i]
+                    for i, (u, v) in enumerate(pat.edges)):
                 continue
             for i in range(nv):
                 domains[i].add(tup[i])
@@ -93,11 +103,38 @@ def test_fsm_vs_oracle(seed, n, p, labels, k, minsup):
     assert got == want
 
 
-def test_fsm_citeseer_smoke(citeseer):
-    """Smoke config from bin/pangolin/run.sh (citeseer, small k).
-    Value recorded as a regression anchor (no published golden)."""
-    got = fsm_count(citeseer, 2, 300)
-    assert got > 0
+def test_fsm_citeseer_frozen(citeseer):
+    """Frozen conformance anchors on the bundled labeled graph (citeseer
+    ships vlabels AND elabels; bin/pangolin/run.sh smoke config k=3
+    minsup=100). The minsup=100 value (4 frequent patterns) is
+    independently verified by a direct numpy MNI computation over
+    (vlabel, elabel, vlabel) single-edge buckets; minsup=50 values are
+    engine-frozen regression anchors."""
+    assert fsm_count(citeseer, 2, 100) == 4
+    assert fsm_count(citeseer, 3, 100) == 4
+    assert fsm_count(citeseer, 2, 50) == 35
+
+
+def test_fsm_elabels_split_patterns():
+    """Edge labels partition single-edge patterns: same vlabel pair,
+    different elabel => different frequent patterns (dfscode.h parity)."""
+    import numpy as np
+    from graphminer_tpu.core.graph import HostGraph
+    # two label-1 centers, each with two elabel-5 and two elabel-9 edges
+    # to label-2 leaves => every domain has 2+ images at minsup 2
+    src = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+    dst = np.array([2, 3, 4, 5, 6, 7, 8, 9])
+    el = np.array([5, 5, 9, 9, 5, 5, 9, 9], dtype=np.uint16)
+    g = HostGraph.from_edges(src, dst, 10, symmetrize=True,
+                             elabels=el,
+                             vlabels=np.array([1, 1] + [2] * 8,
+                                              dtype=np.uint8))
+    g = g.sort_neighbors()
+    # minsup 2: both single-edge patterns frequent but distinct
+    assert fsm_count(g, 1, 2) == 2
+    # without elabels they collapse into one pattern
+    g2 = HostGraph(rowptr=g.rowptr, colidx=g.colidx, vlabels=g.vlabels)
+    assert fsm_count(g2, 1, 2) == 1
 
 
 def test_fsm_device_resident_scale():
