@@ -48,6 +48,33 @@ GOLDEN = {(14, 16): 2860691, (16, 16): 15623664, (18, 16): 82947332}
 GOLDEN_CK = {(18, 16, 4): 2280263816}  # cross-checked vs wedge-Gram engine
 
 
+class _SectionTimeout(Exception):
+    pass
+
+
+def _alarm(seconds: int):
+    """Best-effort wall-clock guard for OPTIONAL bench sections: SIGALRM
+    raises inside the section's try block so one slow section (e.g. FSM on
+    a cold compile) cannot eat the driver's whole bench window. Interrupts
+    host Python between device calls only — good enough for the chunked
+    section loops."""
+    import signal
+
+    def handler(signum, frame):
+        raise _SectionTimeout(f"section exceeded {seconds}s")
+
+    signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+
+
+def _alarm_off():
+    import signal
+    signal.alarm(0)
+
+
+SECTION_TIMEOUT = int(os.environ.get("BENCH_SECTION_TIMEOUT", "900"))
+
+
 def _retry(fn, n=3, what=""):
     """The tunneled chip occasionally drops a dispatch with a transient
     UNAVAILABLE infra error; retry a couple of times before giving up."""
@@ -191,6 +218,7 @@ def main():
 
     # ---- ring engine at rmat20: the LiveJournal-class memory path ---------
     try:
+        _alarm(SECTION_TIMEOUT)
         from graphminer_tpu.ops.ring import RingEngine
         _gc()
         # sanity-check the ring engine against the headline scale's golden
@@ -226,11 +254,13 @@ def main():
         sys.stderr.write(f"ring bench failed: {type(e).__name__}: {e}\n")
         extra["ring_error"] = f"{type(e).__name__}: {e}"[:200]
     finally:
+        _alarm_off()
         ring = ring_chk = gr = None
         _gc()
 
     # ---- 4/5-clique: hi/lo-split MXU engine (BASELINE config 2 metric) -----
     try:
+        _alarm(SECTION_TIMEOUT)
         from graphminer_tpu.ops.cliquek import CliqueKEngine
         _gc()
         for k in (4, 5):
@@ -258,11 +288,13 @@ def main():
         sys.stderr.write(f"cliquek bench failed: {type(e).__name__}: {e}\n")
         extra["cliquek_error"] = f"{type(e).__name__}: {e}"[:200]
     finally:
+        _alarm_off()
         ck = None
         _gc()
 
     # ---- diamond via per-edge tri support (BASELINE config 3 analogue) -----
     try:
+        _alarm(SECTION_TIMEOUT)
         from graphminer_tpu.io.synth import rmat
         from graphminer_tpu.ops.tri_support import diamond_count_fast
         _gc()
@@ -278,11 +310,13 @@ def main():
         sys.stderr.write(f"diamond bench failed: {type(e).__name__}: {e}\n")
         extra["diamond_error"] = f"{type(e).__name__}: {e}"[:200]
     finally:
+        _alarm_off()
         gu = None
         _gc()
 
     # ---- FSM at rmat16 (BASELINE config 5 analogue: labeled, minsup 300) ---
     try:
+        _alarm(SECTION_TIMEOUT)
         import numpy as _np
         from graphminer_tpu.io.synth import rmat
         from graphminer_tpu.workloads.fsm import fsm_count
@@ -298,6 +332,8 @@ def main():
     except Exception as e:
         sys.stderr.write(f"fsm bench failed: {type(e).__name__}: {e}\n")
         extra["fsm_error"] = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        _alarm_off()
 
     out.update({
         "metric": f"tc_edges_per_s_rmat{SCALE}",

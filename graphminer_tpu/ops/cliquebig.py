@@ -1,0 +1,294 @@
+"""k-clique counting for k >= 6 — recursive hi/lo core split, streamed.
+
+Parity: the OSDI Fig-11 large-clique runs (orkut/friendster k = 6,7,8 —
+/root/reference/OSDI-experiments-guide.md:138-147) and the generated DFS
+kernels they use (src/clique/gpu_kernels/, clique/README.md:58). The CUDA
+design holds a per-warp stack of (k-3) vertex lists; the TPU redesign keeps
+the MXU bilinear of ops/cliquek.py and recurses the hi/lo split instead.
+
+Formulation. Over the degree-ascending oriented DAG with closed core (top
+`core` ids), a k-clique a < b < v1 < … < v_{k-2} (v's core-local ascending)
+is anchored at its lowest edge (a, b). If b ∈ core every v lives in core
+bitmaps and y2 = CB[a] & CB[b]. The LAST pair (v_{k-3}, v_{k-2}) is counted
+by the hi bilinear q_hh(y) = x_hiᵀ B_hh x_hi (MXU — cliquek.py docstring);
+the prefix (v1 … v_{k-4}) is enumerated explicitly:
+
+    count = Σ_{prefix ⊂ y2 chain} q_hh(y_prefix ∩ hi)   [hi part]
+          + Σ_{all-lo (k-3)-cliques d1<…<d_{k-3} ⊂ y2}
+                popcount(y2 & C[d1] & … & C[d_{k-3}])    [lo part]
+          + frontier(clique_plan(k)) over b ∉ core edges [tail]
+
+Exactness of the split: ids ascend by degree, hi = the TOP hi_dim core ids,
+so v_{k-3} ∈ hi ⟺ (v_{k-3}, v_{k-2}) both ∈ hi (v_{k-2} > v_{k-3}) — the
+bilinear counts exactly these; otherwise v_{k-3} ∈ lo forces the WHOLE
+prefix v1 < … < v_{k-3} into lo (ascending), which is the lo part. Disjoint
+and complete.
+
+Scaling. The hi part costs (#(k-2)-clique prefixes) × hi_dim² MACs — hi_dim
+shrinks as k grows (default 256 at k=6: rmat18's 2.3B 4-clique prefixes
+cost ~1.5e14 MACs, seconds on the MXU). Prefixes are enumerated on the
+host in bounded chunks and STREAMED to device dispatches (the reference's
+chunked frontier discipline, pangolin base.cu:153-160); nothing
+output-proportional is ever held in memory at once.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import SENTINEL, cdiv, round_up
+from .cliquek import _core_bitmaps, _hi_adj_bf16, _lo_popcount, _pad_rows
+from .hubcore import _expand_bits
+
+CORE = 4096
+HI6 = 256            # hi_dim default for k = 6 (k=7,8 default narrower)
+SLAB = 4096
+EDGE_CHUNK = 1 << 14          # case-A edges per host expansion chunk
+EXPAND_CHUNK = 1 << 18        # frontier rows per host unpackbits step
+DISPATCH_TASKS = 16 << 20     # hi tasks per device dispatch
+
+
+@functools.partial(jax.jit, static_argnames=("hi_words", "slab", "depth"))
+def _chain_hi_bilinear(y2hi_tab, core_hi, bhh, rows, cols, *, hi_words: int,
+                      slab: int, depth: int):
+    """Σ_t q_hh(y2hi[rows[t]] & C_hi[cols[t,0]] & … & C_hi[cols[t,depth-1]])
+    → int32 [n_slabs, 2] lo/hi-16 partial sums. The generalisation of
+    cliquek._tri_hi_bilinear to depth AND-levels; all gathers are full
+    aligned rows from dedicated [*, hi_words] tables."""
+    ne = y2hi_tab.shape[0]
+    c = core_hi.shape[0]
+    hi = hi_words * 32
+    rr = rows.reshape(-1, slab)
+    cc = cols.reshape(-1, slab, depth)
+
+    def body(xs):
+        r, cl = xs
+        ok = (r >= 0) & (r < ne)
+        y = y2hi_tab[jnp.where(ok, r, 0)]
+        for j in range(depth):
+            cj = cl[:, j]
+            okj = ok & (cj >= 0) & (cj < c)
+            y = y & core_hi[jnp.where(okj, cj, 0)]
+            ok = okj
+        y = jnp.where(ok[:, None], y, 0)
+        x = _expand_bits(y, hi)
+        z = jax.lax.dot_general(x, bhh, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        per = jnp.sum(x.astype(jnp.float32) * z, axis=1).astype(jnp.int32)
+        return jnp.stack([jnp.sum(per & 0xFFFF, dtype=jnp.int32),
+                          jnp.sum(per >> 16, dtype=jnp.int32)])
+
+    return jax.lax.map(body, (rr, cc))
+
+
+def _enum_bits(rows_bm: np.ndarray, n_bits: int):
+    """(task_idx, bit_pos) of every set bit below n_bits, per row.
+    rows_bm: uint32 [n, w]; bit b of word w = local id w*32+b."""
+    if rows_bm.size == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    bits = np.unpackbits(rows_bm.view(np.uint8), axis=1, bitorder="little")
+    return np.nonzero(bits[:, :n_bits])
+
+
+class CliqueBigEngine:
+    """Streamed k-clique counter for k >= 6 over the recursive hi/lo split.
+
+    Exact: per-prefix hi bilinears (MXU) + all-lo popcount tasks + sub-core
+    frontier tail. Host expansion is chunk-bounded; device dispatches are
+    task-bounded; per-task integers < 2^24 (f32-exact), totals in host
+    int64."""
+
+    def __init__(self, g, k: int, core: int = CORE, hi: Optional[int] = None,
+                 slab: int = SLAB, tail: bool = True,
+                 edge_chunk: int = EDGE_CHUNK):
+        assert k >= 6, "use CliqueKEngine for k = 4, 5"
+        from ..core.plan import clique_plan
+        from ..engine.frontier import count_pattern
+        rg = g if g.is_dag else \
+            g.relabel_by_degree(descending=False).orientation()
+        self.k = k
+        self.slab = slab
+        # deeper prefixes materialize full-word y chains per level on the
+        # host; shrink the edge chunk so the worst level stays ~GB-bounded
+        self.edge_chunk = max(256, edge_chunk >> (3 * (k - 6)))
+        v = rg.n_vertices
+        c = min(core, v)
+        cs = v - c
+        words = round_up(max(1, cdiv(c, 32)), 8)
+        self.c = c
+        self.words = words
+        hi = hi if hi is not None else max(HI6 >> (2 * (k - 6)), 32)
+        # the hi slice (top hi_words words of bitmap space) must reach the
+        # valid bits [0, c): hi_dim >= words*32 - c (top bits are padding
+        # when c is not a multiple of the 8-word row rounding)
+        self.hi_words = min(max(1, hi // 32, words - c // 32), words)
+        self.lo_bits = (words - self.hi_words) * 32   # lo = bits [0, lo_bits)
+        self.hi_dim = self.hi_words * 32
+
+        bm, core_np, _inb = _core_bitmaps(rg, cs, c, words)
+        self.bm_np = bm
+        self.core_np = core_np
+        src, dst = rg.edge_list()
+        case_a = dst >= cs
+        self.n_edges = int(src.shape[0])
+        self.ea = src[case_a].astype(np.int64)
+        self.eb = dst[case_a].astype(np.int64)
+        self.n_core_edges = int(self.ea.shape[0])
+
+        self.bm_dev = jnp.asarray(bm.view(np.int32))
+        self.core_dev = jnp.asarray(core_np.view(np.int32))
+        self.core_hi = jnp.asarray(
+            np.ascontiguousarray(core_np[:, words - self.hi_words:])
+            .view(np.int32))
+        self.bhh = _hi_adj_bf16(self.core_dev, words=words,
+                                hi_words=self.hi_words)
+        # per-case-A-edge hi slice of y2, device-resident (rows gathered by
+        # global edge row at count time)
+        y2hi = np.empty((max(self.n_core_edges, 1), self.hi_words),
+                        dtype=np.uint32)
+        y2hi[:] = 0
+        for s in range(0, self.n_core_edges, EXPAND_CHUNK):
+            a = self.ea[s:s + EXPAND_CHUNK]
+            b = self.eb[s:s + EXPAND_CHUNK]
+            y2hi[s:s + a.shape[0]] = (bm[a] & bm[b])[:, words - self.hi_words:]
+        self.y2hi = jnp.asarray(y2hi.view(np.int32))
+
+        self.tail_total = 0
+        if tail and (~case_a).any():
+            self.tail_total = count_pattern(
+                rg, clique_plan(k), chunk=4096,
+                tasks=(src[~case_a], dst[~case_a]))
+
+        # streaming statistics (filled by count)
+        self.n_hi_tasks = 0
+        self.n_lo_tasks = 0
+
+    # -- host expansion ----------------------------------------------------
+
+    def _expand_prefixes(self, rows: np.ndarray, y: np.ndarray, depth: int):
+        """Enumerate (k-2-…)-prefix chains: yields (rows, cols[n, depth])
+        of hi tasks in bounded slices. rows: global edge-row ids; y: the
+        matching y2 (full words). Iterative level expansion with host ANDs;
+        the LAST level only enumerates (device re-ANDs on the hi slice)."""
+        cols = np.zeros((rows.shape[0], 0), dtype=np.int64)
+        for level in range(depth):
+            ti, cl = _enum_bits(y, self.c)
+            rows = rows[ti]
+            cols = np.concatenate([cols[ti], cl[:, None]], axis=1)
+            if level < depth - 1:
+                y = y[ti] & self.core_np[cl]
+        return rows, cols
+
+    def _expand_lo_cliques(self, rows: np.ndarray, y: np.ndarray,
+                           depth: int):
+        """All-lo (depth)-cliques inside y2: (rows, dcols[n, depth]) with
+        every d below the hi cut; host ANDs restricted to lo words."""
+        lo_w = self.words - self.hi_words
+        if lo_w == 0:
+            return rows[:0], np.zeros((0, depth), dtype=np.int64)
+        w = y[:, :lo_w]
+        dcols = np.zeros((rows.shape[0], 0), dtype=np.int64)
+        for level in range(depth):
+            ti, cl = _enum_bits(w, self.lo_bits)
+            rows = rows[ti]
+            dcols = np.concatenate([dcols[ti], cl[:, None]], axis=1)
+            if level < depth - 1:
+                w = w[ti] & self.core_np[cl][:, :lo_w]
+        return rows, dcols
+
+    # -- device totals -----------------------------------------------------
+
+    def count(self) -> int:
+        k = self.k
+        self.n_hi_tasks = self.n_lo_tasks = 0
+        hi_pend, hi_n = [], 0       # pending (rows, cols) hi tasks
+        lo_pend, lo_n = [], 0       # pending [n, k-1] lo popcount tasks
+        outs = []                   # device partials, pulled ONCE at the end
+
+        def hi_dispatch(rr, cc):
+            outs.append(("hi", _chain_hi_bilinear(
+                self.y2hi, self.core_hi, self.bhh, jnp.asarray(rr),
+                jnp.asarray(cc), hi_words=self.hi_words, slab=self.slab,
+                depth=k - 4)))
+
+        def lo_dispatch(cols):
+            outs.append(("lo", _lo_popcount(
+                self.bm_dev, self.core_dev, jnp.asarray(cols),
+                words=self.words, chunk=4096, nrow=int(cols.shape[1]))))
+
+        def drain(pend, n, width, target, fire):
+            """Flush fixed-size `target` slices (ONE compiled shape) while
+            enough tasks are pending; returns the remainder."""
+            while n >= target:
+                rows = np.concatenate([p[0] for p in pend])
+                cols = np.concatenate([p[1] for p in pend])
+                fire(rows[:target].astype(np.int32),
+                     cols[:target].astype(np.int32))
+                pend = [(rows[target:], cols[target:])]
+                n -= target
+            return pend, n
+
+        for s in range(0, self.n_core_edges, self.edge_chunk):
+            a = self.ea[s:s + self.edge_chunk]
+            b = self.eb[s:s + self.edge_chunk]
+            rows = (s + np.arange(a.shape[0])).astype(np.int64)
+            y2 = self.bm_np[a] & self.bm_np[b]
+            hr, hc = self._expand_prefixes(rows, y2, k - 4)
+            self.n_hi_tasks += int(hr.shape[0])
+            if hr.size:
+                hi_pend.append((hr, hc))
+                hi_n += hr.shape[0]
+            hi_pend, hi_n = drain(
+                hi_pend, hi_n, k - 4, DISPATCH_TASKS,
+                lambda rr, cc: hi_dispatch(rr, cc))
+            lr, lc = self._expand_lo_cliques(rows, y2, k - 3)
+            self.n_lo_tasks += int(lr.shape[0])
+            if lr.size:
+                lo_pend.append((lr, lc))
+                lo_n += lr.shape[0]
+            lo_pend, lo_n = drain(
+                lo_pend, lo_n, k - 3, DISPATCH_TASKS,
+                lambda rr, cc: lo_dispatch(np.concatenate(
+                    [self.ea[rr][:, None], self.eb[rr][:, None], cc],
+                    axis=1).astype(np.int32)))
+
+        # final partial flushes: pad to the next power-of-two slab multiple
+        # so residual dispatch shapes stay few (log2 variants, not one per
+        # run length)
+        def pow2pad(x, mult, fill=SENTINEL):
+            n = x.shape[0]
+            tgt = mult
+            while tgt < n:
+                tgt *= 2
+            return _pad_rows(x, tgt, fill=fill)[:tgt]
+
+        if hi_n:
+            rows = np.concatenate([p[0] for p in hi_pend]).astype(np.int32)
+            cols = np.concatenate([p[1] for p in hi_pend]).astype(np.int32)
+            hi_dispatch(pow2pad(rows, self.slab), pow2pad(cols, self.slab))
+        if lo_n:
+            rows = np.concatenate([p[0] for p in lo_pend])
+            cols = np.concatenate([p[1] for p in lo_pend])
+            full = np.concatenate(
+                [self.ea[rows][:, None], self.eb[rows][:, None], cols],
+                axis=1).astype(np.int32)
+            lo_dispatch(pow2pad(full, 4096))
+
+        total = self.tail_total
+        for kind, arr in outs:
+            a = np.asarray(arr, dtype=np.int64)
+            if kind == "hi":
+                total += int(a[:, 0].sum() + (a[:, 1].sum() << 16))
+            else:
+                total += int(a.sum())
+        return total
+
+
+def cliquebig_count(g, k: int, core: int = CORE,
+                    hi: Optional[int] = None) -> int:
+    """Exact k-clique count for k >= 6 via the streamed recursive engine."""
+    return CliqueBigEngine(g, k, core=core, hi=hi).count()

@@ -255,7 +255,9 @@ class CliqueKEngine:
         cs = v - c
         words = round_up(max(1, cdiv(c, 32)), 8)
         self.words = words
-        self.hi_words = min(max(1, hi // 32), words)
+        # hi slice must reach the valid bits [0, c): hi_dim >= words*32 - c
+        # (top bits are padding when c < the 8-word-rounded bit space)
+        self.hi_words = min(max(1, hi // 32, words - c // 32), words)
         lo_cut = (words - self.hi_words) * 32      # word-aligned hi cut
         self.slab = slab
 

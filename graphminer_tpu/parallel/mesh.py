@@ -72,6 +72,23 @@ def _shard_tasks(src, dst, deg, n_shards: int, chunk: int,
     return jnp.asarray(s_out.reshape(-1)), jnp.asarray(d_out.reshape(-1))
 
 
+def shard_balance(g, n_shards: int, chunk: int = 2048,
+                  policy: str = "least_first", sym_break: bool = False):
+    """Per-shard (task_count, workload_estimate) under `policy` — the
+    dryrun's work-balance evidence. Workload estimate per task is
+    min(deg(src), deg(dst)), the same proxy the reference scheduler packs
+    by (scheduler.cc:14-20, 133-214)."""
+    from .scheduler import least_first, round_robin
+    src, dst = g.edge_list(sym_break=sym_break)
+    deg = np.diff(g.rowptr)
+    if policy == "least_first":
+        assign = least_first(n_shards, deg[src], deg[dst], chunk=chunk)
+    else:
+        assign = round_robin(n_shards, src.shape[0], chunk=chunk)
+    w = np.minimum(deg[src], deg[dst]).astype(np.int64)
+    return [(int(idx.shape[0]), int(w[idx].sum())) for idx in assign]
+
+
 def count_pattern_sharded(g, plan: Plan, mesh: Optional[Mesh] = None,
                           chunk: int = 2048, sub: Optional[int] = None,
                           backend: str = "auto", width: Optional[int] = None,

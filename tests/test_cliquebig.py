@@ -1,0 +1,62 @@
+"""CliqueBigEngine (ops/cliquebig.py): streamed recursive hi/lo k-clique
+counting for k >= 6 vs brute-force oracle and the frontier engine
+(OSDI Fig-11 large-clique parity, OSDI-experiments-guide.md:138-147)."""
+import numpy as np
+import pytest
+
+from graphminer_tpu.io.synth import erdos_renyi, rmat
+from graphminer_tpu.ops.cliquebig import CliqueBigEngine, cliquebig_count
+import oracle
+
+
+def _frontier(g, k):
+    from graphminer_tpu.core.plan import clique_plan
+    from graphminer_tpu.engine.frontier import count_pattern
+    rg = g.relabel_by_degree(descending=False).orientation()
+    return count_pattern(rg, clique_plan(k))
+
+
+@pytest.mark.parametrize("n,p,seed,k", [
+    (30, 0.5, 0, 6),
+    (40, 0.45, 1, 6),
+    (40, 0.45, 1, 7),
+    (48, 0.45, 5, 8),
+])
+def test_vs_oracle_core_hi_sweep(n, p, seed, k):
+    g = erdos_renyi(n, p, seed)
+    want = oracle.k_cliques(g, k)
+    # degenerate, partial and whole-graph cores; tiny hi forces real lo
+    # tasks and real tails
+    for core, hi in [(16, 32), (64, 32), (4096, 256)]:
+        eng = CliqueBigEngine(g, k, core=core, hi=hi)
+        assert eng.count() == want, (core, hi)
+
+
+def test_clique6_rmat_vs_frontier():
+    g = rmat(12, 8, seed=23)
+    want = _frontier(g, 6)
+    assert want > 0
+    assert cliquebig_count(g, 6) == want
+    # small core + narrow hi: different split, same count
+    assert cliquebig_count(g, 6, core=256, hi=64) == want
+
+
+def test_clique7_rmat_vs_frontier():
+    g = rmat(11, 8, seed=29)
+    want = _frontier(g, 7)
+    assert cliquebig_count(g, 7) == want
+
+
+def test_streaming_chunk_invariance():
+    """Chunked host expansion must not change the count (the r3 lesson:
+    scale engines need tests where their chunking actually engages)."""
+    g = rmat(11, 8, seed=3)
+    e1 = CliqueBigEngine(g, 6, edge_chunk=128)
+    e2 = CliqueBigEngine(g, 6, edge_chunk=1 << 14)
+    assert e1.count() == e2.count()
+
+
+def test_workload_routing():
+    from graphminer_tpu.workloads.clique import clique_count
+    g = rmat(10, 8, seed=7)
+    assert clique_count(g, 6, fast=True) == clique_count(g, 6, fast=False)
