@@ -38,8 +38,9 @@ def main(argv=None):
                    help="frontier engine: compact | map")
     p.add_argument("--fast", action="store_true",
                    help="fast engines: tc=stream, clique 4/5=hi/lo MXU "
-                        "bilinear, sgl diamond=tri-support, motif 3/4="
-                        "formula over fast engines")
+                        "bilinear, clique>=6=streamed recursive hi/lo, "
+                        "sgl diamond=tri-support, motif 3/4=formula over "
+                        "fast engines")
     p.add_argument("--partition", type=int, default=0, metavar="N",
                    help="count over N induced halo partitions (out-of-core)")
     p.add_argument("--profile", action="store_true",
@@ -106,6 +107,8 @@ def main(argv=None):
         out["k"] = k
     elif ns.workload == "sgl":
         from .workloads.sgl import sgl_count
+        # pattern = a name (diamond, house, …) or @<pattern_file> in the
+        # reference's adjacency-text / CSR-binary formats (pattern.cc:80)
         pattern = ns.args[0] if ns.args else "diamond"
         if ns.fast and pattern.lower() == "diamond":
             from .ops.tri_support import diamond_count_fast

@@ -109,6 +109,58 @@ class PatternGraph:
         vl = tuple(vlabels) if vlabels is not None else (0,) * n_vertices
         return PatternGraph(vl, es, el)
 
+    @staticmethod
+    def from_file(path: str) -> "PatternGraph":
+        """Read a pattern from the reference's on-disk formats
+        (src/common/pattern.cc:80 read_adj_file + the CSR binaries that
+        codegen/make_pattern.py writes under codegen/input_patterns/*):
+
+        * adjacency text — one edge per line, ``u v`` (unlabeled) or
+          ``u ulabel v vlabel`` (labeled vertices);
+        * binary CSR — a directory (or ``<prefix>`` path) holding
+          graph.meta.txt (line 1 = len(rowptr), line 2 = directed edge
+          count), graph.vertex.bin (int64 rowptr) and graph.edge.bin
+          (int64 or int32 colidx — inferred from the file size).
+        """
+        import os
+        prefix = path
+        if os.path.isdir(path):
+            prefix = os.path.join(path, "graph")
+        if os.path.exists(prefix + ".meta.txt"):
+            with open(prefix + ".meta.txt") as f:
+                toks = f.read().split()
+            n_rowptr, n_dir = int(toks[0]), int(toks[1])
+            rowptr = np.fromfile(prefix + ".vertex.bin", dtype=np.int64)
+            assert rowptr.shape[0] == n_rowptr, (rowptr.shape, n_rowptr)
+            esz = os.path.getsize(prefix + ".edge.bin") // max(n_dir, 1)
+            colidx = np.fromfile(prefix + ".edge.bin",
+                                 dtype=np.int64 if esz == 8 else np.int32)
+            nv = n_rowptr - 1
+            deg = np.diff(rowptr)
+            src = np.repeat(np.arange(nv), deg)
+            edges = {(min(int(u), int(v)), max(int(u), int(v)))
+                     for u, v in zip(src, colidx)}
+            return PatternGraph.from_edges(sorted(edges), nv)
+        # adjacency text
+        edges, labels = [], {}
+        with open(path) as f:
+            for line in f:
+                vs = line.split()
+                if not vs:
+                    continue
+                if len(vs) == 2:
+                    u, v = int(vs[0]), int(vs[1])
+                elif len(vs) == 4:
+                    u, v = int(vs[0]), int(vs[2])
+                    labels[u] = int(vs[1])
+                    labels[v] = int(vs[3])
+                else:
+                    raise ValueError(f"bad pattern line: {line!r}")
+                edges.append((u, v))
+        nv = max(max(e) for e in edges) + 1
+        vl = [labels.get(i, 0) for i in range(nv)] if labels else None
+        return PatternGraph.from_edges(edges, nv, vlabels=vl)
+
     def automorphisms(self):
         """All label/edge-preserving vertex permutations."""
         n = self.n_vertices

@@ -46,9 +46,8 @@ def _hybrid_partials(core_bm, carrays, bucket_arrays, salt, *, cspec, sspec,
         outs.append(_ring._cbucket_partials(
             core_bm, src_bm, dst_loc, words=words_r, wc=wc, per_task=False))
     for (dst_rows, src_rows), (width, wtv, _wta) in zip(bucket_arrays, sspec):
-        outs.append(_stream._bucket_counts_body(
-            dst_rows, src_rows, words=words_s, wtv=wtv,
-            chunk_d=_stream._chunk_d_for(width)))
+        outs.append(_stream._bucket_counts_fused(
+            dst_rows, src_rows, words=words_s, wtv=wtv))
     parts = jnp.concatenate(outs) if outs else jnp.zeros((1,), jnp.int32)
     return jnp.roll(parts, salt)
 

@@ -17,6 +17,11 @@ wall, ~65ns/task). Measured on the chip, both lose to a pure-stream design:
     skip the T part entirely (T[v] = ∅), so ~80% of edges are pure
     AND+popcount on the VPU; the remaining tail tasks pay wta*wtv broadcast
     compares, kept tight by the per-bucket width classes.
+  * Round 4: each bucket reduces as ONE fused broadcast-reduce (row groups
+    sized for exact int32 partials) instead of a lax.map chunk loop — the
+    map serialized the pipeline. Measured on the chip (rmat18): 759M
+    edge-tasks/s marginal (two-size slope) vs 351M mapped; dispatch
+    latency 57 ms vs 107 ms.
 
 This replaces both reference device strategies at once — the warp
 binary-search intersection (include/set_intersect.cuh:6-105) and the matrix
@@ -272,8 +277,46 @@ def _chunk_d_for(width: int) -> int:
     return max(8, TASK_BLOCK // max(width, 8))
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "words"))
-def _stream_partials(bucket_arrays, salt, *, spec, words: int):
+def _bucket_counts_fused(dst_rows, src_rows, *, words: int, wtv: int):
+    """Whole-bucket fused AND+popcount (+ T compare) → per-row-group int32
+    partials, NO lax.map: the sequential chunk loop serialized the pipeline
+    (measured 267M tasks/s at 8k-task steps / ~450M at 1M steps vs 785M
+    fully fused — scripts/prof_popcount.py p4 vs p0). XLA tiles one big
+    broadcast-reduce at streaming bandwidth instead.
+
+    Row groups of R keep the int32 partials exact: R is sized so
+    R * (per-row upper bound width*(32*words + wta*wtv)) < 2^30."""
+    n_pad, width, row_w = src_rows.shape
+    wta = row_w - words
+    bound = width * (32 * words + wta * wtv) + 1
+    r = max(8, min(1 << 16, (1 << 30) // bound))
+    r = 1 << (r.bit_length() - 1)
+    g = cdiv(n_pad, r)
+    pad = g * r - n_pad
+    if pad:
+        dz = jnp.where(jnp.arange(dst_rows.shape[1]) < words, 0, SENTINEL)
+        dst_rows = jnp.concatenate(
+            [dst_rows, jnp.broadcast_to(dz, (pad, dst_rows.shape[1]))])
+        sz = jnp.where(jnp.arange(row_w) < words, 0, SENTINEL)
+        src_rows = jnp.concatenate(
+            [src_rows, jnp.broadcast_to(sz, (pad, width, row_w))])
+    d = dst_rows.reshape(g, r, dst_rows.shape[1])
+    s = src_rows.reshape(g, r, width, row_w)
+    hub = jnp.sum(jax.lax.population_count(
+        d[:, :, None, :words] & s[:, :, :, :words]),
+        axis=(1, 2, 3), dtype=jnp.int32)
+    if wtv == 0:
+        return hub
+    ta = s[:, :, :, words:]                       # [g, r, width, wta]
+    tb = d[:, :, words:]                          # [g, r, wtv]
+    m = (ta[:, :, :, :, None] == tb[:, :, None, None, :]) & \
+        (ta != SENTINEL)[:, :, :, :, None]
+    return hub + jnp.sum(m, axis=(1, 2, 3, 4), dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "words", "fused"))
+def _stream_partials(bucket_arrays, salt, *, spec, words: int,
+                     fused: bool = True):
     """ONE dispatch over all buckets -> concatenated int32 partial sums.
     spec: ((width, wtv, wta), ...) aligned with bucket_arrays.
 
@@ -283,9 +326,13 @@ def _stream_partials(bucket_arrays, salt, *, spec, words: int):
     iterations must differ somewhere."""
     outs = []
     for (dst_rows, src_rows), (width, wtv, _wta) in zip(bucket_arrays, spec):
-        outs.append(_bucket_counts_body(dst_rows, src_rows, words=words,
-                                        wtv=wtv,
-                                        chunk_d=_chunk_d_for(width)))
+        if fused:
+            outs.append(_bucket_counts_fused(dst_rows, src_rows,
+                                             words=words, wtv=wtv))
+        else:
+            outs.append(_bucket_counts_body(dst_rows, src_rows, words=words,
+                                            wtv=wtv,
+                                            chunk_d=_chunk_d_for(width)))
     parts = jnp.concatenate(outs) if outs else jnp.zeros((1,), jnp.int32)
     return jnp.roll(parts, salt)
 
@@ -298,7 +345,7 @@ class StreamEngine:
     |N+(u) ∩ N+(v)|; the sum is the exact triangle count."""
 
     def __init__(self, g, core: int = 4096, classes=WIDTH_CLASSES,
-                 wtv_classes=WTV_CLASSES):
+                 wtv_classes=WTV_CLASSES, fused: bool = True):
         self.stream = build_stream(g, core=core, classes=classes,
                                    wtv_classes=wtv_classes)
         self.arrays = tuple((b.dst_rows, b.src_rows)
@@ -306,10 +353,11 @@ class StreamEngine:
         self.spec = tuple(b.spec for b in self.stream.buckets)
         self.words = self.stream.layout.words
         self.n_edges = self.stream.n_tasks
+        self.fused = fused
 
     def partials(self, salt: int = 0):
         return _stream_partials(self.arrays, jnp.int32(salt), spec=self.spec,
-                                words=self.words)
+                                words=self.words, fused=self.fused)
 
     def count(self) -> int:
         from ..utils.profiling import PROFILER
@@ -351,6 +399,7 @@ class StreamEngine:
                            for d, s in self.arrays)
         eng.spec = self.spec
         eng.words = self.words
+        eng.fused = self.fused
         eng.n_edges = sum(int(b.row_tasks[: h(b.n_dst)].sum())
                           for b in self.stream.buckets)
         return eng

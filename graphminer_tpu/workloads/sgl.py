@@ -17,6 +17,11 @@ def sgl_count(g, pattern, chunk: int = 1024, backend: str = "auto") -> int:
     point of the reference, omp_base.cc:16-52, as a single function call)."""
     if isinstance(pattern, PatternGraph):
         plan = plan_from_pattern(pattern)
+    elif pattern.startswith("@"):
+        # pattern file (reference `sgl <graph> <pattern_file>` parity):
+        # @/path/to/adj.txt or @codegen/input_patterns/<name> CSR dir
+        pat = PatternGraph.from_file(pattern[1:])
+        plan = plan_from_pattern(pat)
     else:
         key = pattern.lower()
         if key in SGL_PLANS:

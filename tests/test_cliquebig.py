@@ -47,6 +47,16 @@ def test_clique7_rmat_vs_frontier():
     assert cliquebig_count(g, 7) == want
 
 
+def test_clique6_rmat13_frozen_anchor():
+    """Frozen scale anchor: rmat13 ef16 seed7 6-cliques = 631,682,339 —
+    verified once against the frontier engine (624 s run) and against the
+    alternate core=1024/hi=128 split; pins the full streaming pipeline
+    (36M+ prefix tasks through chunked host expansion) at a scale the
+    small fixtures never reach."""
+    g = rmat(13, 16, seed=7)
+    assert cliquebig_count(g, 6) == 631682339
+
+
 def test_streaming_chunk_invariance():
     """Chunked host expansion must not change the count (the r3 lesson:
     scale engines need tests where their chunking actually engages)."""

@@ -70,6 +70,21 @@ def test_wta_ladder_off_class_regression():
     assert eng.count() == 1
 
 
+def test_fused_vs_mapped(rand_graphs, citeseer):
+    """The fused whole-bucket reduction (no lax.map) must agree bit-exactly
+    with the chunked map path on every bucket mix."""
+    for g in (rand_graphs[1], rand_graphs[3]):
+        a = StreamEngine(g, core=16, classes=CLASSES, wtv_classes=WTV,
+                         fused=True).count()
+        b = StreamEngine(g, core=16, classes=CLASSES, wtv_classes=WTV,
+                         fused=False).count()
+        assert a == b
+    eng = StreamEngine(citeseer, core=128, classes=CLASSES, wtv_classes=WTV)
+    assert eng.count() == 1166
+    eng.fused = False
+    assert eng.count() == 1166
+
+
 def test_task_accounting(citeseer):
     eng = StreamEngine(citeseer, core=128, classes=CLASSES, wtv_classes=WTV)
     assert sum(b.n_tasks for b in eng.stream.buckets) == eng.n_edges
