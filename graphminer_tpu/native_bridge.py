@@ -63,6 +63,13 @@ def get_lib():
                                      i32p, ctypes.c_int, ctypes.c_int,
                                      i32p, i32p]
         lib.gm_num_threads.restype = ctypes.c_int
+        if hasattr(lib, "gm_expand_multi"):
+            pp = ctypes.POINTER(ctypes.c_void_p)
+            lib.gm_expand_multi.restype = ctypes.c_int64
+            lib.gm_expand_multi.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, pp, pp, ctypes.c_int64,
+                i64p, i32p, i64p]
         if hasattr(lib, "gm_csr_from_coo"):
             lib.gm_csr_from_coo.restype = ctypes.c_int64
             lib.gm_csr_from_coo.argtypes = [
@@ -134,3 +141,30 @@ def csr_from_coo(src: np.ndarray, dst: np.ndarray, n_vertices: int,
     n = lib.gm_csr_from_coo(n_vertices, e, src, dst, int(symmetrize),
                             rowptr, colidx)
     return rowptr, colidx[:n].copy()
+
+
+def expand_multi(bases, rows, words: int, n_bits: int, start: int,
+                 cap: int, out_task: np.ndarray, out_bit: np.ndarray):
+    """Streamed set-bit expansion (cliquebig hot loop): for tasks from
+    `start`, AND the per-task bitmap rows bases[s][rows[s][t]] and emit
+    (task, bit) pairs below n_bits into out_task/out_bit (capacity cap,
+    whole tasks only). Returns (n_emitted, next_start) or None (no native
+    lib — numpy fallback in cliquebig)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gm_expand_multi"):
+        return None
+    n_src = len(bases)
+    n_tasks = rows[0].shape[0]
+    bases_c = [np.ascontiguousarray(b.view(np.uint32)) for b in bases]
+    rows_c = [np.ascontiguousarray(r, dtype=np.int64) for r in rows]
+    bp = (ctypes.c_void_p * n_src)(
+        *[b.ctypes.data_as(ctypes.c_void_p).value for b in bases_c])
+    rp = (ctypes.c_void_p * n_src)(
+        *[r.ctypes.data_as(ctypes.c_void_p).value for r in rows_c])
+    nxt = np.zeros(1, dtype=np.int64)
+    n = lib.gm_expand_multi(
+        n_tasks, start, words, n_bits, n_src,
+        ctypes.cast(bp, ctypes.POINTER(ctypes.c_void_p)),
+        ctypes.cast(rp, ctypes.POINTER(ctypes.c_void_p)),
+        cap, out_task, out_bit, nxt)
+    return int(n), int(nxt[0])

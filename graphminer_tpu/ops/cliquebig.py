@@ -50,6 +50,45 @@ SLAB = 4096
 EDGE_CHUNK = 1 << 14          # case-A edges per host expansion chunk
 EXPAND_CHUNK = 1 << 18        # frontier rows per host unpackbits step
 DISPATCH_TASKS = 16 << 20     # hi tasks per device dispatch
+EXPAND_CAP = 32 << 20         # native expander per-level buffer (tasks)
+
+
+class _Sink:
+    """Accumulates (rows, cols) task slices and fires fixed-size device
+    dispatches (ONE compiled shape) when DISPATCH_TASKS are pending; the
+    residue is flushed pow2-padded (log2 shape variants, not one per run
+    length)."""
+
+    def __init__(self, mult: int, fire):
+        self.pend = []
+        self.n = 0
+        self.mult = mult
+        self.fire = fire
+
+    def add(self, rows, cols):
+        if rows.size == 0:
+            return
+        self.pend.append((rows, cols))
+        self.n += rows.shape[0]
+        while self.n >= DISPATCH_TASKS:
+            rows = np.concatenate([p[0] for p in self.pend])
+            cols = np.concatenate([p[1] for p in self.pend])
+            self.fire(rows[:DISPATCH_TASKS].astype(np.int32),
+                      cols[:DISPATCH_TASKS].astype(np.int32))
+            self.pend = [(rows[DISPATCH_TASKS:], cols[DISPATCH_TASKS:])]
+            self.n -= DISPATCH_TASKS
+
+    def flush(self):
+        if not self.n:
+            return
+        rows = np.concatenate([p[0] for p in self.pend]).astype(np.int32)
+        cols = np.concatenate([p[1] for p in self.pend]).astype(np.int32)
+        tgt = self.mult
+        while tgt < rows.shape[0]:
+            tgt *= 2
+        self.fire(_pad_rows(rows, tgt)[:tgt], _pad_rows(cols, tgt)[:tgt])
+        self.pend, self.n = [], 0
+
 
 
 @functools.partial(jax.jit, static_argnames=("hi_words", "slab", "depth"))
@@ -205,8 +244,6 @@ class CliqueBigEngine:
     def count(self) -> int:
         k = self.k
         self.n_hi_tasks = self.n_lo_tasks = 0
-        hi_pend, hi_n = [], 0       # pending (rows, cols) hi tasks
-        lo_pend, lo_n = [], 0       # pending [n, k-1] lo popcount tasks
         outs = []                   # device partials, pulled ONCE at the end
 
         def hi_dispatch(rr, cc):
@@ -215,68 +252,47 @@ class CliqueBigEngine:
                 jnp.asarray(cc), hi_words=self.hi_words, slab=self.slab,
                 depth=k - 4)))
 
-        def lo_dispatch(cols):
+        def lo_dispatch(rr, cc):
+            # flush pads rows with SENTINEL (int32 max — positive!)
+            ok = (rr >= 0) & (rr < self.n_core_edges)
+            safe = np.where(ok, rr, 0)
+            cols = np.concatenate(
+                [self.ea[safe][:, None], self.eb[safe][:, None], cc],
+                axis=1).astype(np.int32)
+            cols[~ok] = SENTINEL
             outs.append(("lo", _lo_popcount(
                 self.bm_dev, self.core_dev, jnp.asarray(cols),
                 words=self.words, chunk=4096, nrow=int(cols.shape[1]))))
 
-        def drain(pend, n, width, target, fire):
-            """Flush fixed-size `target` slices (ONE compiled shape) while
-            enough tasks are pending; returns the remainder."""
-            while n >= target:
-                rows = np.concatenate([p[0] for p in pend])
-                cols = np.concatenate([p[1] for p in pend])
-                fire(rows[:target].astype(np.int32),
-                     cols[:target].astype(np.int32))
-                pend = [(rows[target:], cols[target:])]
-                n -= target
-            return pend, n
+        hi_sink = _Sink(self.slab, hi_dispatch)
+        lo_sink = _Sink(4096, lo_dispatch)
 
-        for s in range(0, self.n_core_edges, self.edge_chunk):
-            a = self.ea[s:s + self.edge_chunk]
-            b = self.eb[s:s + self.edge_chunk]
-            rows = (s + np.arange(a.shape[0])).astype(np.int64)
-            y2 = self.bm_np[a] & self.bm_np[b]
-            hr, hc = self._expand_prefixes(rows, y2, k - 4)
-            self.n_hi_tasks += int(hr.shape[0])
-            if hr.size:
-                hi_pend.append((hr, hc))
-                hi_n += hr.shape[0]
-            hi_pend, hi_n = drain(
-                hi_pend, hi_n, k - 4, DISPATCH_TASKS,
-                lambda rr, cc: hi_dispatch(rr, cc))
-            lr, lc = self._expand_lo_cliques(rows, y2, k - 3)
-            self.n_lo_tasks += int(lr.shape[0])
-            if lr.size:
-                lo_pend.append((lr, lc))
-                lo_n += lr.shape[0]
-            lo_pend, lo_n = drain(
-                lo_pend, lo_n, k - 3, DISPATCH_TASKS,
-                lambda rr, cc: lo_dispatch(np.concatenate(
-                    [self.ea[rr][:, None], self.eb[rr][:, None], cc],
-                    axis=1).astype(np.int32)))
-
-        # final partial flushes: pad to the next power-of-two slab multiple
-        # so residual dispatch shapes stay few (log2 variants, not one per
-        # run length)
-        def pow2pad(x, mult, fill=SENTINEL):
-            n = x.shape[0]
-            tgt = mult
-            while tgt < n:
-                tgt *= 2
-            return _pad_rows(x, tgt, fill=fill)[:tgt]
-
-        if hi_n:
-            rows = np.concatenate([p[0] for p in hi_pend]).astype(np.int32)
-            cols = np.concatenate([p[1] for p in hi_pend]).astype(np.int32)
-            hi_dispatch(pow2pad(rows, self.slab), pow2pad(cols, self.slab))
-        if lo_n:
-            rows = np.concatenate([p[0] for p in lo_pend])
-            cols = np.concatenate([p[1] for p in lo_pend])
-            full = np.concatenate(
-                [self.ea[rows][:, None], self.eb[rows][:, None], cols],
-                axis=1).astype(np.int32)
-            lo_dispatch(pow2pad(full, 4096))
+        from .. import native_bridge
+        native = (native_bridge.get_lib() is not None
+                  and hasattr(native_bridge.get_lib(), "gm_expand_multi"))
+        if native:
+            for er, cols in self._native_prefixes(k - 4, self.c):
+                self.n_hi_tasks += er.shape[0]
+                hi_sink.add(er, cols)
+            for er, cols in self._native_prefixes(k - 3, self.lo_bits):
+                self.n_lo_tasks += er.shape[0]
+                lo_sink.add(er, cols)
+        else:
+            for s0 in range(0, self.n_core_edges, self.edge_chunk):
+                a = self.ea[s0:s0 + self.edge_chunk]
+                b = self.eb[s0:s0 + self.edge_chunk]
+                rows = (s0 + np.arange(a.shape[0])).astype(np.int64)
+                y2 = self.bm_np[a] & self.bm_np[b]
+                hr, hc = self._expand_prefixes(rows, y2, k - 4)
+                self.n_hi_tasks += int(hr.shape[0])
+                if hr.size:
+                    hi_sink.add(hr, hc)
+                lr, lc = self._expand_lo_cliques(rows, y2, k - 3)
+                self.n_lo_tasks += int(lr.shape[0])
+                if lr.size:
+                    lo_sink.add(lr, lc)
+        hi_sink.flush()
+        lo_sink.flush()
 
         total = self.tail_total
         for kind, arr in outs:
@@ -286,6 +302,50 @@ class CliqueBigEngine:
             else:
                 total += int(a.sum())
         return total
+
+    def _native_prefixes(self, depth: int, n_bits: int):
+        """Generator of (edge_rows, cols[n, depth]) final-level prefix
+        chunks via the native gm_expand_multi expander (ctz enumeration,
+        OpenMP). Nested streaming: every level's buffer is <= EXPAND_CAP
+        tasks, so nothing output-proportional is held at once. n_bits = c
+        enumerates the whole core (hi prefixes); n_bits = lo_bits keeps
+        every chain vertex below the hi cut (lo cliques)."""
+        from .. import native_bridge
+        if depth == 0:
+            yield (np.arange(self.n_core_edges, dtype=np.int64),
+                   np.zeros((self.n_core_edges, 0), np.int64))
+            return
+        cap = EXPAND_CAP
+        bufs = [(np.empty(cap, np.int64), np.empty(cap, np.int32))
+                for _ in range(depth)]
+
+        def rec(level, erows, cols):
+            if level == depth:
+                yield erows, cols
+                return
+            bases = [self.bm_np, self.bm_np] + [self.core_np] * level
+            rows = [self.ea[erows], self.eb[erows]] + \
+                   [cols[:, j] for j in range(level)]
+            out_t, out_b = bufs[level]
+            start = 0
+            n = erows.shape[0]
+            while start < n:
+                n_em, nxt = native_bridge.expand_multi(
+                    bases, rows, self.words, n_bits, start, cap,
+                    out_t, out_b)
+                if nxt == start:
+                    raise RuntimeError("expand_multi made no progress "
+                                       f"(cap {cap} too small)")
+                ti = out_t[:n_em]
+                bit = out_b[:n_em].astype(np.int64)
+                ncols = (np.concatenate([cols[ti], bit[:, None]], axis=1)
+                         if level else bit[:, None].copy())
+                yield from rec(level + 1, erows[ti], ncols)
+                start = nxt
+
+        all_rows = np.arange(self.n_core_edges, dtype=np.int64)
+        yield from rec(0, all_rows, np.zeros((self.n_core_edges, 0),
+                                             np.int64))
 
 
 def cliquebig_count(g, k: int, core: int = CORE,

@@ -11,9 +11,14 @@ search.cuh:53-79).
 
 Availability: the kernel lowers and passes interpret-mode tests everywhere,
 and compiles on direct-attached TPU runtimes. The axon TUNNEL used by this
-session hangs on remote Mosaic compilation (measured: a trivial pallas_call
-never returns), so RingEngine defaults to use_pallas=False there; pass
-use_pallas=True on real TPU deployments.
+session hangs on remote Mosaic compilation — PINNED REPRO in
+scripts/repro_mosaic_hang.py (a trivial 8x128 elementwise pallas_call
+blocks >20 min with ~0 CPU while plain-XLA programs on the same runtime
+compile in seconds-to-minutes; reproduced in rounds 3 and 4). RingEngine
+therefore defaults to use_pallas=False on this runtime; the measured
+performance story is the fused XLA stream (759M edge-tasks/s on-chip,
+ops/stream.py) — not this kernel. Pass use_pallas=True on direct-attached
+TPU deployments.
 """
 from __future__ import annotations
 

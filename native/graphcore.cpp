@@ -200,6 +200,84 @@ i64 gm_csr_from_coo(i64 V, i64 E, const i32* src, const i32* dst,
   return out_rowptr[V];
 }
 
+// Streamed set-bit expansion for the big-clique engine
+// (graphminer_tpu/ops/cliquebig.py). For each task t in [start, n_tasks):
+//   w = bases[0][rows[0][t]] & … & bases[n_src-1][rows[n_src-1][t]]
+//       (bitmap rows of `words` uint32 each)
+// emit (t, bit_pos) for every set bit of w with bit_pos < n_bits.
+// Stops BEFORE the first task that would overflow `cap` emissions;
+// *next_start = first unprocessed task; returns #emitted. Two-pass per
+// block (parallel popcount, serial prefix, parallel emit) so output order
+// is deterministic task-major / bit-ascending — the contract the hi/lo
+// split's ascending-prefix argument relies on.
+//
+// This replaces a numpy unpackbits+nonzero pipeline that touched ~20x the
+// bytes (bit->byte expansion) single-threaded; with ctz enumeration the
+// cost is reads (2-4 rows/task) + one write per emission, OpenMP-parallel.
+i64 gm_expand_multi(i64 n_tasks, i64 start, i64 words, i64 n_bits,
+                    i64 n_src, const uint32_t* const* bases,
+                    const i64* const* rows, i64 cap,
+                    i64* out_task, i32* out_bit, i64* next_start) {
+  const i64 BLK = 1 << 20;
+  i64 emitted = 0;
+  i64 t = start;
+  std::vector<i64> cnt(BLK);
+  std::vector<i64> off(BLK + 1);
+  const i64 full_words = n_bits / 32;
+  const uint32_t tail_mask =
+      (n_bits % 32) ? ((uint32_t{1} << (n_bits % 32)) - 1) : 0;
+  while (t < n_tasks) {
+    const i64 b_end = std::min(n_tasks, t + BLK);
+    const i64 nb = b_end - t;
+#pragma omp parallel for schedule(static)
+    for (i64 i = 0; i < nb; ++i) {
+      const i64 task = t + i;
+      i64 c = 0;
+      for (i64 w = 0; w < words; ++w) {
+        if (w > full_words) break;
+        uint32_t x = bases[0][rows[0][task] * words + w];
+        for (i64 s = 1; s < n_src; ++s)
+          x &= bases[s][rows[s][task] * words + w];
+        if (w == full_words) x &= tail_mask;
+        c += __builtin_popcount(x);
+      }
+      cnt[i] = c;
+    }
+    prefix_sum(cnt.data(), nb, off.data());
+    // how many whole tasks fit in the remaining cap?
+    i64 fit = nb;
+    if (emitted + off[nb] > cap) {
+      fit = 0;
+      while (fit < nb && emitted + off[fit + 1] <= cap) ++fit;
+      if (fit == 0) break;  // cap too small for the next task
+    }
+#pragma omp parallel for schedule(static)
+    for (i64 i = 0; i < fit; ++i) {
+      const i64 task = t + i;
+      i64 o = emitted + off[i];
+      for (i64 w = 0; w < words; ++w) {
+        if (w > full_words) break;
+        uint32_t x = bases[0][rows[0][task] * words + w];
+        for (i64 s = 1; s < n_src; ++s)
+          x &= bases[s][rows[s][task] * words + w];
+        if (w == full_words) x &= tail_mask;
+        while (x) {
+          const int b = __builtin_ctz(x);
+          out_task[o] = task;
+          out_bit[o] = (i32)(w * 32 + b);
+          ++o;
+          x &= x - 1;
+        }
+      }
+    }
+    emitted += off[fit];
+    t += fit;
+    if (fit < nb) break;  // cap reached mid-block
+  }
+  *next_start = t;
+  return emitted;
+}
+
 // Per-vertex degree histogram utility (scheduler work estimates).
 void gm_degrees(i64 V, const i64* rowptr, i32* deg) {
 #pragma omp parallel for schedule(static)
