@@ -112,6 +112,105 @@ def induced_partition_1d(g: HostGraph, n_parts: int,
     return out
 
 
+@dataclass
+class Partition2D:
+    """2D-partitioned graph (graph_partition.h:50-55 partition2D parity):
+    block (i, j) holds the edges src ∈ cluster i → dst ∈ cluster j as a
+    local CSR whose rows are ranks-in-cluster-i and whose columns stay
+    GLOBAL dst ids (the reference keeps global colidx too). Block CSRs
+    tile the edge set exactly: Σ blocks = the full adjacency."""
+    n_clusters: int
+    cluster_ids: np.ndarray            # int32 [V] cluster of each vertex
+    verts_of_cluster: List[np.ndarray]  # global ids per cluster, ascending
+    rank_in_cluster: np.ndarray        # int64 [V]
+    rowptr: List[np.ndarray]           # per block [n_i + 1]
+    colidx: List[np.ndarray]           # per block [E_ij] global dst ids
+
+    def block(self, i: int, j: int):
+        pid = i * self.n_clusters + j
+        return self.rowptr[pid], self.colidx[pid]
+
+
+def partition_2d(g: HostGraph, cluster_ids: np.ndarray) -> Partition2D:
+    """Partition g into nc x nc edge blocks by (src cluster, dst cluster)
+    — graph_partition.cc partition2D semantics, vectorized numpy."""
+    cluster_ids = np.asarray(cluster_ids, dtype=np.int32)
+    nc = int(cluster_ids.max()) + 1 if cluster_ids.size else 0
+    v = g.n_vertices
+    order = np.argsort(cluster_ids, kind="stable")
+    rank = np.empty(v, dtype=np.int64)
+    verts_of = []
+    for i in range(nc):
+        vs = order[cluster_ids[order] == i]
+        vs = np.sort(vs)
+        verts_of.append(vs.astype(np.int64))
+        rank[vs] = np.arange(vs.shape[0])
+    deg = np.diff(g.rowptr)
+    src = np.repeat(np.arange(v, dtype=np.int64), deg)
+    sc = cluster_ids[src].astype(np.int64)
+    dc = cluster_ids[g.colidx].astype(np.int64)
+    pid = sc * nc + dc
+    rowptrs, colidxs = [], []
+    for p in range(nc * nc):
+        i = p // nc
+        m = pid == p
+        n_i = verts_of[i].shape[0]
+        rp = np.zeros(n_i + 1, dtype=EID_DTYPE)
+        np.add.at(rp, rank[src[m]] + 1, 1)
+        rowptrs.append(np.cumsum(rp, dtype=EID_DTYPE))
+        # CSR order is src-major then original column order — stable mask
+        # keep preserves per-row ascending columns
+        colidxs.append(g.colidx[m].astype(VID_DTYPE))
+    return Partition2D(n_clusters=nc, cluster_ids=cluster_ids,
+                       verts_of_cluster=verts_of, rank_in_cluster=rank,
+                       rowptr=rowptrs, colidx=colidxs)
+
+
+def save_partitions_2d(path: str, p: Partition2D) -> None:
+    """Persist the 2D blocks (the reference writes pgraph.*.bin files —
+    graph_partition.cc partition2D tail; here one .npz bundle)."""
+    arrs = {"cluster_ids": p.cluster_ids,
+            "n_clusters": np.array([p.n_clusters])}
+    for b in range(p.n_clusters * p.n_clusters):
+        arrs[f"rowptr{b}"] = p.rowptr[b]
+        arrs[f"colidx{b}"] = p.colidx[b]
+    with open(path, "wb") as f:
+        np.savez(f, **arrs)
+
+
+def fetch_partitions(path: str, clusters: List[int]) -> HostGraph:
+    """Load the edges among the given clusters from a saved 2D partition
+    and form the induced subgraph in CSR over GLOBAL vertex ids
+    (graph_partition.h:55 fetch_partitions parity). Only the requested
+    blocks are read — the out-of-core access pattern."""
+    z = np.load(path)
+    nc = int(z["n_clusters"][0])
+    cluster_ids = z["cluster_ids"]
+    v = cluster_ids.shape[0]
+    sel = sorted(set(int(c) for c in clusters))
+    rowcount = np.zeros(v + 1, dtype=EID_DTYPE)
+    rows_parts: List[np.ndarray] = []
+    srcs_parts: List[np.ndarray] = []
+    for i in sel:
+        vs = np.nonzero(cluster_ids == i)[0]
+        for j in sel:
+            rp = z[f"rowptr{i * nc + j}"]
+            ci = z[f"colidx{i * nc + j}"]
+            if ci.size == 0:
+                continue
+            bdeg = np.diff(rp)
+            bs = np.repeat(vs, bdeg)
+            srcs_parts.append(bs)
+            rows_parts.append(ci.astype(np.int64))
+    if rows_parts:
+        src = np.concatenate(srcs_parts)
+        dst = np.concatenate(rows_parts)
+        return HostGraph.from_edges(src.astype(VID_DTYPE),
+                                    dst.astype(VID_DTYPE), v)
+    return HostGraph(rowptr=np.zeros(v + 1, dtype=EID_DTYPE),
+                     colidx=np.zeros(0, dtype=VID_DTYPE))
+
+
 def csr_segmenting(g: HostGraph, n_segments: int) -> List[HostGraph]:
     """Column-range segmenting for locality (graph_partition.h:44-48): each
     segment keeps all rows but only the column range it owns. Σ segments'
@@ -127,5 +226,25 @@ def csr_segmenting(g: HostGraph, n_segments: int) -> List[HostGraph]:
         np.add.at(rowptr, src[m] + 1, 1)
         rowptr = np.cumsum(rowptr)
         segs.append(HostGraph(rowptr=rowptr, colidx=g.colidx[m].copy(),
-                              name=f"{g.name}.seg{s}"))
+                              name=f"{g.name}.seg{s}", is_dag=g.is_dag))
     return segs
+
+
+def triangle_count_segmented(g: HostGraph, n_segments: int,
+                             chunk: int = 2048) -> int:
+    """csr_segmenting consumer: exact TC one COLUMN SEGMENT at a time —
+    the cache-blocking / out-of-core access pattern of the reference
+    (graph_partition.h:44-48, citing Zhang et al. 2017). Column segments
+    partition the id space, so |N+(u) ∩ N+(v)| = Σ_s |N+_s(u) ∩ N+_s(v)|
+    exactly; the task list comes from the FULL oriented DAG while only one
+    segment's adjacency is resident per pass."""
+    from ..core.plan import TRIANGLE
+    from ..engine.frontier import count_pattern
+    rg = g if g.is_dag else \
+        g.relabel_by_degree(descending=False).orientation()
+    src, dst = rg.edge_list()
+    total = 0
+    for seg in csr_segmenting(rg, n_segments):
+        total += count_pattern(seg, TRIANGLE, chunk=chunk,
+                               tasks=(src, dst))
+    return total

@@ -79,3 +79,62 @@ def test_csr_segmenting_cover(citeseer):
     assert sum(s.n_edges for s in segs) == citeseer.n_edges
     for s in segs:
         s.validate()
+
+
+def test_partition_2d_blocks_tile_edges(citeseer):
+    """partition2D parity (graph_partition.h:50-55): blocks (i,j) tile the
+    edge set exactly, rows are rank-in-cluster, columns stay global."""
+    from graphminer_tpu.parallel.partition import partition_2d
+    rng = np.random.default_rng(5)
+    cids = rng.integers(0, 3, citeseer.n_vertices).astype(np.int32)
+    p = partition_2d(citeseer, cids)
+    assert p.n_clusters == 3
+    total_e = sum(c.size for c in p.colidx)
+    assert total_e == citeseer.n_edges
+    # per-block: edges really go cluster i -> cluster j
+    for i in range(3):
+        vs = p.verts_of_cluster[i]
+        for j in range(3):
+            rp, ci = p.block(i, j)
+            assert rp.shape[0] == vs.shape[0] + 1
+            if ci.size:
+                assert np.all(cids[ci] == j)
+            deg = np.diff(rp)
+            src_g = np.repeat(vs, deg)
+            # every (src, dst) exists in the original adjacency
+            for u, v in zip(src_g[:50], ci[:50]):
+                assert v in citeseer.colidx[
+                    citeseer.rowptr[u]:citeseer.rowptr[u + 1]]
+
+
+def test_fetch_partitions_roundtrip(tmp_path, citeseer):
+    """save + fetch: edges among the selected clusters, global ids
+    (fetch_partitions parity). Fetching ALL clusters reproduces the graph;
+    a subset yields exactly the edges within the subset's vertex union."""
+    from graphminer_tpu.parallel.partition import (partition_2d,
+                                                   save_partitions_2d,
+                                                   fetch_partitions)
+    rng = np.random.default_rng(7)
+    cids = rng.integers(0, 4, citeseer.n_vertices).astype(np.int32)
+    p = partition_2d(citeseer, cids)
+    path = str(tmp_path / "p2d.npz")
+    save_partitions_2d(path, p)
+    full = fetch_partitions(path, [0, 1, 2, 3])
+    assert full.n_edges == citeseer.n_edges
+    assert np.array_equal(full.rowptr, citeseer.rowptr)
+    assert np.array_equal(full.colidx, citeseer.colidx)
+    sub = fetch_partitions(path, [1, 3])
+    keep = np.isin(cids, [1, 3])
+    deg = np.diff(citeseer.rowptr)
+    src = np.repeat(np.arange(citeseer.n_vertices), deg)
+    want_e = int((keep[src] & keep[citeseer.colidx]).sum())
+    assert sub.n_edges == want_e
+
+
+def test_triangle_count_segmented(rand_graphs, citeseer):
+    """csr_segmenting consumer: column-segmented TC is exact
+    (graph_partition.h:44-48 cache blocking, one segment resident/pass)."""
+    from graphminer_tpu.parallel.partition import triangle_count_segmented
+    g = rand_graphs[2]
+    assert triangle_count_segmented(g, 3) == oracle.triangles(g)
+    assert triangle_count_segmented(citeseer, 4) == 1166
