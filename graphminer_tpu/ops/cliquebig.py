@@ -34,6 +34,7 @@ output-proportional is ever held in memory at once.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -124,6 +125,39 @@ def _chain_hi_bilinear(y2hi_tab, core_hi, bhh, rows, cols, *, hi_words: int,
     return jax.lax.map(body, (rr, cc))
 
 
+def _spawn_cpu_tail(rg, k: int, src: np.ndarray, dst: np.ndarray):
+    """Run the sub-core frontier tail (clique_plan(k) over the given edge
+    tasks) in a CPU-pinned subprocess. Device backends pay tens of minutes
+    of remote compilation for deep bucketed frontier programs (tunnel
+    measurement, round 4); the CPU path compiles in seconds and overlaps
+    with the device streaming passes. Returns (proc, tmpdir)."""
+    import subprocess
+    import sys as _sys
+    import tempfile
+    d = tempfile.mkdtemp(prefix="gm_tail_")
+    np.savez(os.path.join(d, "in.npz"), rowptr=rg.rowptr, colidx=rg.colidx,
+             src=src, dst=dst, k=np.array([k]))
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np, sys\n"
+        "sys.path.insert(0, %r)\n"
+        "from graphminer_tpu.core.graph import HostGraph\n"
+        "from graphminer_tpu.core.plan import clique_plan\n"
+        "from graphminer_tpu.engine.frontier import count_pattern\n"
+        "z = np.load(%r)\n"
+        "g = HostGraph(rowptr=z['rowptr'], colidx=z['colidx'], is_dag=True)\n"
+        "t = count_pattern(g, clique_plan(int(z['k'][0])), chunk=4096,\n"
+        "                  tasks=(z['src'], z['dst']))\n"
+        "open(%r, 'w').write(str(t))\n"
+    ) % (os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))),
+         os.path.join(d, "in.npz"), os.path.join(d, "out.txt"))
+    proc = subprocess.Popen([_sys.executable, "-c", code],
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.PIPE)
+    return proc, d
+
+
 def _enum_bits(rows_bm: np.ndarray, n_bits: int):
     """(task_idx, bit_pos) of every set bit below n_bits, per row.
     rows_bm: uint32 [n, w]; bit b of word w = local id w*32+b."""
@@ -142,9 +176,14 @@ class CliqueBigEngine:
     int64."""
 
     def __init__(self, g, k: int, core: int = CORE, hi: Optional[int] = None,
-                 slab: int = SLAB, tail: bool = True,
+                 slab: int = SLAB, tail="auto",
                  edge_chunk: int = EDGE_CHUNK):
+        """tail: "auto" (frontier in-process on CPU backends, CPU
+        subprocess on device backends — remote frontier compiles for deep
+        plans take tens of minutes on the tunnel), "frontier",
+        "subprocess", or False (caller owns the sub-core tail)."""
         assert k >= 6, "use CliqueKEngine for k = 4, 5"
+        import jax as _jax
         from ..core.plan import clique_plan
         from ..engine.frontier import count_pattern
         rg = g if g.is_dag else \
@@ -197,10 +236,20 @@ class CliqueBigEngine:
         self.y2hi = jnp.asarray(y2hi.view(np.int32))
 
         self.tail_total = 0
+        self._tail_proc = None
+        if tail == "auto":
+            tail = ("frontier" if _jax.default_backend() == "cpu"
+                    else "subprocess")
         if tail and (~case_a).any():
-            self.tail_total = count_pattern(
-                rg, clique_plan(k), chunk=4096,
-                tasks=(src[~case_a], dst[~case_a]))
+            if tail == "subprocess":
+                # launch now; joined by count() — overlaps the CPU tail
+                # with the device streaming passes
+                self._tail_proc = _spawn_cpu_tail(
+                    rg, k, src[~case_a], dst[~case_a])
+            else:
+                self.tail_total = count_pattern(
+                    rg, clique_plan(k), chunk=4096,
+                    tasks=(src[~case_a], dst[~case_a]))
 
         # streaming statistics (filled by count)
         self.n_hi_tasks = 0
@@ -294,6 +343,9 @@ class CliqueBigEngine:
         hi_sink.flush()
         lo_sink.flush()
 
+        # join the CPU tail AFTER all device work is dispatched (the
+        # dispatches above are async; this overlaps tail and device time)
+        self._ensure_tail()
         total = self.tail_total
         for kind, arr in outs:
             a = np.asarray(arr, dtype=np.int64)
@@ -302,6 +354,22 @@ class CliqueBigEngine:
             else:
                 total += int(a.sum())
         return total
+
+    def _ensure_tail(self) -> None:
+        """Fold the CPU tail subprocess result into tail_total (once)."""
+        if self._tail_proc is None:
+            return
+        import shutil
+        proc, d = self._tail_proc
+        _, err = proc.communicate()
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"CPU tail subprocess failed: {err.decode()[-500:]}")
+        with open(os.path.join(d, "out.txt")) as f:
+            t = int(f.read())
+        shutil.rmtree(d, ignore_errors=True)
+        self._tail_proc = None
+        self.tail_total += t
 
     def _native_prefixes(self, depth: int, n_bits: int):
         """Generator of (edge_rows, cols[n, depth]) final-level prefix
