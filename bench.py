@@ -46,6 +46,9 @@ RING_SCALE = int(os.environ.get("BENCH_RING_SCALE", "20"))
 # between >= 2 independent backends
 GOLDEN = {(14, 16): 2860691, (16, 16): 15623664, (18, 16): 82947332}
 GOLDEN_CK = {(18, 16, 4): 2280263816}  # cross-checked vs wedge-Gram engine
+# 6-cliques keyed (scale, ef); rmat13 frontier-verified, larger scales
+# cross-checked between two (core, hi) splits on the chip
+GOLDEN_C6 = {(13, 16): 631682339, (14, 16): 3345978434}
 
 
 class _SectionTimeout(Exception):
@@ -290,6 +293,37 @@ def main():
     finally:
         _alarm_off()
         ck = None
+        _gc()
+
+    # ---- 6-clique: streamed recursive hi/lo engine (OSDI Fig-11 path) ------
+    try:
+        _alarm(SECTION_TIMEOUT)
+        from graphminer_tpu.ops.cliquebig import CliqueBigEngine
+        _gc()
+        t0 = time.time()
+        c6 = CliqueBigEngine(_dag(SCALE), 6)
+        extra["clique6_prep_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        c6_total = _retry(c6.count, what="clique6")
+        dt = time.time() - t0
+        want_c6 = GOLDEN_C6.get((SCALE, EDGE_FACTOR))
+        if want_c6 is not None and c6_total != want_c6:
+            raise AssertionError(f"6-clique {c6_total} != golden {want_c6}")
+        extra[f"clique6_count_rmat{SCALE}"] = c6_total
+        extra["clique6_total_s"] = round(dt, 1)
+        extra["clique6_prefix_tasks_per_s"] = c6.n_hi_tasks / max(dt, 1e-9)
+        sys.stderr.write(
+            f"6-clique rmat{SCALE}: {c6_total} in {dt:.1f}s "
+            f"({c6.n_hi_tasks/1e6:.0f}M prefix tasks, "
+            f"{c6.n_hi_tasks/max(dt,1e-9)/1e6:.1f}M tasks/s)\n")
+        c6 = None
+        _gc()
+    except Exception as e:
+        sys.stderr.write(f"clique6 bench failed: {type(e).__name__}: {e}\n")
+        extra["clique6_error"] = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        _alarm_off()
+        c6 = None
         _gc()
 
     # ---- diamond via per-edge tri support (BASELINE config 3 analogue) -----

@@ -16,6 +16,17 @@ Shape discipline: every array is static-shape; only while-loop trip counts are
 data dependent. A dead embedding is marked by SENTINEL in its newest vertex
 slot and contributes exactly 0 everywhere.
 
+Why there is no generic cmap here (design decision, measured): the
+reference's cmap (include/cmap.h) is an O(1) per-candidate membership
+probe. On TPU a per-candidate bitmap probe is a lane-dimension dynamic
+gather (take_along_axis), which Mosaic serializes — measured 54x slower
+than the O(w^2) broadcast compare it would replace (ops/ring.py
+_tail_pairs_partials note). The TPU-correct counterpart is restructuring
+membership into bulk popcount(row AND) over packed core bitmaps, which is
+exactly what the specialized engines do (ops/hubcore, stream, ring,
+cliquek, cliquebig, tri_support); the interpreter keeps the vectorized
+set-algebra path for arbitrary plans.
+
 Two engines are kept:
   engine="compact"  (default) — compaction + while_loop, fast and scalable
   engine="map"      — direct nested lax.map over candidate slots; simple,

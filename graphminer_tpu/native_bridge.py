@@ -70,6 +70,13 @@ def get_lib():
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64, pp, pp, ctypes.c_int64,
                 i64p, i32p, i64p]
+        if hasattr(lib, "gm_expand_emit"):
+            pp = ctypes.POINTER(ctypes.c_void_p)
+            lib.gm_expand_emit.restype = ctypes.c_int64
+            lib.gm_expand_emit.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, pp, pp, ctypes.c_int64,
+                pp, ctypes.c_int64, i32p, i64p]
         if hasattr(lib, "gm_csr_from_coo"):
             lib.gm_csr_from_coo.restype = ctypes.c_int64
             lib.gm_csr_from_coo.argtypes = [
@@ -167,4 +174,31 @@ def expand_multi(bases, rows, words: int, n_bits: int, start: int,
         ctypes.cast(bp, ctypes.POINTER(ctypes.c_void_p)),
         ctypes.cast(rp, ctypes.POINTER(ctypes.c_void_p)),
         cap, out_task, out_bit, nxt)
+    return int(n), int(nxt[0])
+
+
+def expand_emit(bases, rows, attrs, words: int, n_bits: int, start: int,
+                cap: int, out: np.ndarray):
+    """State-carrying expansion: for tasks from `start`, AND the bitmap
+    rows bases[s][rows[s][t]]; for every set bit below n_bits write
+    [attrs[0][t], ..., attrs[-1][t], bit] into `out` ([cap, n_attr+1]
+    int32, whole tasks only). Returns (n_emitted, next_start) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gm_expand_emit"):
+        return None
+    n_src = len(bases)
+    n_tasks = rows[0].shape[0]
+    bases_c = [np.ascontiguousarray(b.view(np.uint32)) for b in bases]
+    rows_c = [np.ascontiguousarray(r, dtype=np.int32) for r in rows]
+    attrs_c = [np.ascontiguousarray(a, dtype=np.int32) for a in attrs]
+    mk = lambda arrs: ctypes.cast(
+        (ctypes.c_void_p * len(arrs))(
+            *[a.ctypes.data_as(ctypes.c_void_p).value for a in arrs]),
+        ctypes.POINTER(ctypes.c_void_p))
+    nxt = np.zeros(1, dtype=np.int64)
+    assert out.flags["C_CONTIGUOUS"] and out.dtype == np.int32
+    assert out.shape[1] == len(attrs) + 1
+    n = lib.gm_expand_emit(
+        n_tasks, start, words, n_bits, n_src, mk(bases_c), mk(rows_c),
+        len(attrs), mk(attrs_c), cap, out.reshape(-1), nxt)
     return int(n), int(nxt[0])

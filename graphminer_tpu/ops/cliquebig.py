@@ -54,6 +54,16 @@ DISPATCH_TASKS = 16 << 20     # hi tasks per device dispatch
 EXPAND_CAP = 32 << 20         # native expander per-level buffer (tasks)
 
 
+def _dispatch_pad(state: np.ndarray, mult: int) -> np.ndarray:
+    """Pad a final-level state matrix to a power-of-two multiple of mult
+    with SENTINEL rows (bounded count of compiled dispatch shapes)."""
+    n = state.shape[0]
+    tgt = mult
+    while tgt < n:
+        tgt *= 2
+    return _pad_rows(state, tgt)[:tgt]
+
+
 class _Sink:
     """Accumulates (rows, cols) task slices and fires fixed-size device
     dispatches (ONE compiled shape) when DISPATCH_TASKS are pending; the
@@ -320,12 +330,23 @@ class CliqueBigEngine:
         native = (native_bridge.get_lib() is not None
                   and hasattr(native_bridge.get_lib(), "gm_expand_multi"))
         if native:
-            for er, cols in self._native_prefixes(k - 4, self.c):
-                self.n_hi_tasks += er.shape[0]
-                hi_sink.add(er, cols)
-            for er, cols in self._native_prefixes(k - 3, self.lo_bits):
-                self.n_lo_tasks += er.shape[0]
-                lo_sink.add(er, cols)
+            def hi_emit(state):
+                self.n_hi_tasks += state.shape[0]
+                state = _dispatch_pad(state, self.slab)
+                hi_dispatch(np.ascontiguousarray(state[:, 2]),
+                            np.ascontiguousarray(state[:, 3:]))
+
+            def lo_emit(state):
+                self.n_lo_tasks += state.shape[0]
+                # state IS the (a, b, d1..d_{k-3}) layout _lo_popcount wants
+                outs.append(("lo", _lo_popcount(
+                    self.bm_dev, self.core_dev,
+                    jnp.asarray(_dispatch_pad(state, 4096)),
+                    words=self.words, chunk=4096,
+                    nrow=int(state.shape[1]))))
+
+            self._native_stream(k - 4, self.c, 3, hi_emit)
+            self._native_stream(k - 3, self.lo_bits, 2, lo_emit)
         else:
             for s0 in range(0, self.n_core_edges, self.edge_chunk):
                 a = self.ea[s0:s0 + self.edge_chunk]
@@ -371,49 +392,65 @@ class CliqueBigEngine:
         self._tail_proc = None
         self.tail_total += t
 
-    def _native_prefixes(self, depth: int, n_bits: int):
-        """Generator of (edge_rows, cols[n, depth]) final-level prefix
-        chunks via the native gm_expand_multi expander (ctz enumeration,
-        OpenMP). Nested streaming: every level's buffer is <= EXPAND_CAP
-        tasks, so nothing output-proportional is held at once. n_bits = c
-        enumerates the whole core (hi prefixes); n_bits = lo_bits keeps
-        every chain vertex below the hi cut (lo cliques)."""
+    def _native_stream(self, depth: int, n_bits: int, anchor: int, emit):
+        """Drive the native state-carrying expander (gm_expand_emit) down
+        `depth` levels and hand DISPATCH_TASKS-sized final-level state
+        matrices to `emit`. State columns: [a, b, (erow,)? c0, c1, ...] —
+        `anchor` = 3 keeps the edge-row id (hi bilinear path), 2 drops it
+        (lo popcount path, whose task layout is exactly (a, b, d...)).
+        Every level's buffer is bounded; all assembly happens inside the C
+        expander (OpenMP) — the previous numpy gather/concatenate assembly
+        ran single-threaded and dominated rmat18 k=6 (26 min)."""
         from .. import native_bridge
         if depth == 0:
-            yield (np.arange(self.n_core_edges, dtype=np.int64),
-                   np.zeros((self.n_core_edges, 0), np.int64))
             return
-        cap = EXPAND_CAP
-        bufs = [(np.empty(cap, np.int64), np.empty(cap, np.int32))
-                for _ in range(depth)]
+        D = DISPATCH_TASKS
+        final_buf = np.empty((D, anchor + depth), np.int32)
+        fill = [0]
 
-        def rec(level, erows, cols):
-            if level == depth:
-                yield erows, cols
-                return
+        def flush():
+            if fill[0]:
+                emit(final_buf[: fill[0]])
+                fill[0] = 0
+
+        def rec(level, cols_list):
+            n = cols_list[0].shape[0]
             bases = [self.bm_np, self.bm_np] + [self.core_np] * level
-            rows = [self.ea[erows], self.eb[erows]] + \
-                   [cols[:, j] for j in range(level)]
-            out_t, out_b = bufs[level]
+            rows = [cols_list[0], cols_list[1]] + list(cols_list[anchor:])
             start = 0
-            n = erows.shape[0]
+            if level == depth - 1:
+                while start < n:
+                    n_em, nxt = native_bridge.expand_emit(
+                        bases, rows, cols_list, self.words, n_bits, start,
+                        D - fill[0], final_buf[fill[0]:])
+                    if n_em == 0 and nxt == start:
+                        if fill[0] == 0:
+                            raise RuntimeError("task exceeds dispatch cap")
+                        flush()
+                        continue
+                    fill[0] += n_em
+                    start = nxt
+                    if fill[0] == D:
+                        flush()
+                return
+            buf = np.empty((EXPAND_CAP, anchor + level + 1), np.int32)
             while start < n:
-                n_em, nxt = native_bridge.expand_multi(
-                    bases, rows, self.words, n_bits, start, cap,
-                    out_t, out_b)
-                if nxt == start:
-                    raise RuntimeError("expand_multi made no progress "
-                                       f"(cap {cap} too small)")
-                ti = out_t[:n_em]
-                bit = out_b[:n_em].astype(np.int64)
-                ncols = (np.concatenate([cols[ti], bit[:, None]], axis=1)
-                         if level else bit[:, None].copy())
-                yield from rec(level + 1, erows[ti], ncols)
+                n_em, nxt = native_bridge.expand_emit(
+                    bases, rows, cols_list, self.words, n_bits, start,
+                    EXPAND_CAP, buf)
+                if n_em == 0 and nxt == start:
+                    raise RuntimeError(f"EXPAND_CAP {EXPAND_CAP} too small")
+                if n_em:
+                    sub = np.ascontiguousarray(buf[:n_em].T)
+                    rec(level + 1, [sub[j] for j in range(sub.shape[0])])
                 start = nxt
 
-        all_rows = np.arange(self.n_core_edges, dtype=np.int64)
-        yield from rec(0, all_rows, np.zeros((self.n_core_edges, 0),
-                                             np.int64))
+        top = [np.ascontiguousarray(self.ea.astype(np.int32)),
+               np.ascontiguousarray(self.eb.astype(np.int32))]
+        if anchor == 3:
+            top.append(np.arange(self.n_core_edges, dtype=np.int32))
+        rec(0, top)
+        flush()
 
 
 def cliquebig_count(g, k: int, core: int = CORE,

@@ -265,6 +265,8 @@ class _FSM:
             n = int(n)
             if n <= cap_c:
                 return DevEmb(buf=buf, n=n)
+            from ..utils.profiling import PROFILER
+            PROFILER.count("fsm_overflow_retries", 1)
             cap_c = _cap_for(n)       # overflow: retry with room
 
     def backward_filter(self, de: DevEmb, p: int, q: int,

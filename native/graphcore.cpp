@@ -278,6 +278,77 @@ i64 gm_expand_multi(i64 n_tasks, i64 start, i64 words, i64 n_bits,
   return emitted;
 }
 
+// State-carrying variant: emits, for every set bit, the task's n_attr
+// attribute columns followed by the bit position — i.e. the NEXT level's
+// packed [n_em, n_attr+1] int32 state matrix, assembled in parallel in one
+// pass (the python-side gather/concatenate assembly measured ~20x the
+// bytes and ran single-threaded). rows are int32 per-task row indices.
+i64 gm_expand_emit(i64 n_tasks, i64 start, i64 words, i64 n_bits,
+                   i64 n_src, const uint32_t* const* bases,
+                   const i32* const* rows,
+                   i64 n_attr, const i32* const* attrs,
+                   i64 cap, i32* out, i64* next_start) {
+  const i64 BLK = 1 << 20;
+  const i64 ncol = n_attr + 1;
+  i64 emitted = 0;
+  i64 t = start;
+  std::vector<i64> cnt(BLK);
+  std::vector<i64> off(BLK + 1);
+  const i64 full_words = n_bits / 32;
+  const uint32_t tail_mask =
+      (n_bits % 32) ? ((uint32_t{1} << (n_bits % 32)) - 1) : 0;
+  while (t < n_tasks) {
+    const i64 b_end = std::min(n_tasks, t + BLK);
+    const i64 nb = b_end - t;
+#pragma omp parallel for schedule(static)
+    for (i64 i = 0; i < nb; ++i) {
+      const i64 task = t + i;
+      i64 c = 0;
+      for (i64 w = 0; w < words; ++w) {
+        if (w > full_words) break;
+        uint32_t x = bases[0][(i64)rows[0][task] * words + w];
+        for (i64 s = 1; s < n_src; ++s)
+          x &= bases[s][(i64)rows[s][task] * words + w];
+        if (w == full_words) x &= tail_mask;
+        c += __builtin_popcount(x);
+      }
+      cnt[i] = c;
+    }
+    prefix_sum(cnt.data(), nb, off.data());
+    i64 fit = nb;
+    if (emitted + off[nb] > cap) {
+      fit = 0;
+      while (fit < nb && emitted + off[fit + 1] <= cap) ++fit;
+      if (fit == 0) break;
+    }
+#pragma omp parallel for schedule(static)
+    for (i64 i = 0; i < fit; ++i) {
+      const i64 task = t + i;
+      i64 o = emitted + off[i];
+      for (i64 w = 0; w < words; ++w) {
+        if (w > full_words) break;
+        uint32_t x = bases[0][(i64)rows[0][task] * words + w];
+        for (i64 s = 1; s < n_src; ++s)
+          x &= bases[s][(i64)rows[s][task] * words + w];
+        if (w == full_words) x &= tail_mask;
+        while (x) {
+          const int b = __builtin_ctz(x);
+          i32* row_out = out + o * ncol;
+          for (i64 a = 0; a < n_attr; ++a) row_out[a] = attrs[a][task];
+          row_out[n_attr] = (i32)(w * 32 + b);
+          ++o;
+          x &= x - 1;
+        }
+      }
+    }
+    emitted += off[fit];
+    t += fit;
+    if (fit < nb) break;
+  }
+  *next_start = t;
+  return emitted;
+}
+
 // Per-vertex degree histogram utility (scheduler work estimates).
 void gm_degrees(i64 V, const i64* rowptr, i32* deg) {
 #pragma omp parallel for schedule(static)
