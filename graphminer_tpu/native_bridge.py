@@ -70,6 +70,12 @@ def get_lib():
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64, pp, pp, ctypes.c_int64,
                 i64p, i32p, i64p]
+        if hasattr(lib, "gm_count_multi"):
+            pp = ctypes.POINTER(ctypes.c_void_p)
+            lib.gm_count_multi.restype = None
+            lib.gm_count_multi.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, pp, pp, i32p]
         if hasattr(lib, "gm_expand_emit"):
             pp = ctypes.POINTER(ctypes.c_void_p)
             lib.gm_expand_emit.restype = ctypes.c_int64
@@ -202,3 +208,23 @@ def expand_emit(bases, rows, attrs, words: int, n_bits: int, start: int,
         n_tasks, start, words, n_bits, n_src, mk(bases_c), mk(rows_c),
         len(attrs), mk(attrs_c), cap, out.reshape(-1), nxt)
     return int(n), int(nxt[0])
+
+
+def count_multi(bases, rows, words: int, n_bits: int):
+    """Per-task popcount of the AND of bitmap rows (prepass for exact
+    chunk quotas). Returns int32 [n] or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gm_count_multi"):
+        return None
+    n_src = len(bases)
+    n_tasks = rows[0].shape[0]
+    bases_c = [np.ascontiguousarray(b.view(np.uint32)) for b in bases]
+    rows_c = [np.ascontiguousarray(r, dtype=np.int32) for r in rows]
+    mk = lambda arrs: ctypes.cast(
+        (ctypes.c_void_p * len(arrs))(
+            *[a.ctypes.data_as(ctypes.c_void_p).value for a in arrs]),
+        ctypes.POINTER(ctypes.c_void_p))
+    out = np.empty(n_tasks, dtype=np.int32)
+    lib.gm_count_multi(n_tasks, words, n_bits, n_src, mk(bases_c),
+                       mk(rows_c), out)
+    return out

@@ -135,6 +135,60 @@ def _chain_hi_bilinear(y2hi_tab, core_hi, bhh, rows, cols, *, hi_words: int,
     return jax.lax.map(body, (rr, cc))
 
 
+@functools.partial(jax.jit, static_argnames=("words", "hi_words", "slab",
+                                             "cap", "cdim"))
+def _tri_expand_bilinear(y2full, core_full, y2hi, core_hi, bhh, rows, c1, *,
+                         words: int, hi_words: int, slab: int, cap: int,
+                         cdim: int):
+    """k=6 DEVICE-side quad expansion + bilinear in ONE program:
+    for each tri task (edge row r, c1): y3 = y2full[r] & C[c1]; every set
+    bit c2 of y3 becomes a quad; quads compact (cumsum+scatter, the
+    Pangolin extend→scan→insert shape over core bitmaps) into a fixed
+    [cap] buffer and run the hi bilinear q_hh(y2hi[r] & C_hi[c1] &
+    C_hi[c2]). Inputs per dispatch are just the [T] tri arrays (~8 bytes
+    per tri) — the quads never cross the host link (shipping materialized
+    quads measured ~16 B/task over the tunnel and dominated rmat18 k=6).
+    Caller guarantees true quad count <= cap via the popcount prepass.
+    Returns int32 [n_slabs, 2] lo/hi-16 partial sums."""
+    ne = y2full.shape[0]
+    c = core_full.shape[0]
+    t = rows.shape[0]
+    ok = (rows >= 0) & (rows < ne) & (c1 >= 0) & (c1 < c)
+    rs = jnp.where(ok, rows, 0)
+    cs = jnp.where(ok, c1, 0)
+    y3 = jnp.where(ok[:, None], y2full[rs] & core_full[cs], 0)  # [T, words]
+    bits = _expand_bits(y3, cdim, dtype=jnp.int32)              # [T, cdim]
+    flat = bits.reshape(-1)
+    pos = jnp.cumsum(flat) - 1
+    tgt = jnp.where(flat > 0, pos, cap)
+    tri_of = jax.lax.broadcasted_iota(jnp.int32, (t, cdim), 0).reshape(-1)
+    c2_of = jax.lax.broadcasted_iota(jnp.int32, (t, cdim), 1).reshape(-1)
+    qtri = jnp.full((cap,), SENTINEL, jnp.int32).at[tgt].set(
+        tri_of, mode="drop")
+    qc2 = jnp.full((cap,), SENTINEL, jnp.int32).at[tgt].set(
+        c2_of, mode="drop")
+
+    hi = hi_words * 32
+    qt = qtri.reshape(-1, slab)
+    qc = qc2.reshape(-1, slab)
+
+    def body(xs):
+        ti, c2 = xs
+        okq = (ti >= 0) & (ti < t) & (c2 >= 0) & (c2 < c)
+        tis = jnp.where(okq, ti, 0)
+        y = y2hi[rs[tis]] & core_hi[cs[tis]] & \
+            core_hi[jnp.where(okq, c2, 0)]
+        y = jnp.where((okq & ok[tis])[:, None], y, 0)
+        x = _expand_bits(y, hi)
+        z = jax.lax.dot_general(x, bhh, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        per = jnp.sum(x.astype(jnp.float32) * z, axis=1).astype(jnp.int32)
+        return jnp.stack([jnp.sum(per & 0xFFFF, dtype=jnp.int32),
+                          jnp.sum(per >> 16, dtype=jnp.int32)])
+
+    return jax.lax.map(body, (qt, qc))
+
+
 def _spawn_cpu_tail(rg, k: int, src: np.ndarray, dst: np.ndarray):
     """Run the sub-core frontier tail (clique_plan(k) over the given edge
     tasks) in a CPU-pinned subprocess. Device backends pay tens of minutes
@@ -300,8 +354,100 @@ class CliqueBigEngine:
 
     # -- device totals -----------------------------------------------------
 
+    # device-expansion path tuning (k = 6)
+    T6 = 1 << 16          # tri tasks per dispatch (fixed shape)
+    CAP6 = 4 << 20        # quad capacity per dispatch
+    QSLAB = 1 << 14       # quads per bilinear slab inside the kernel
+    Y2FULL_BUDGET = 4 << 30
+    DEV6_MIN_TRIS = 1 << 18   # below this the host streaming path wins
+
+    def _count6_device(self) -> Optional[int]:
+        """k=6 fast path: device-side quad expansion (see
+        _tri_expand_bilinear). Returns None when unavailable (no native
+        lib, or the y2full table exceeds the budget) — caller falls back
+        to the host streaming path."""
+        from .. import native_bridge
+        if self.k != 6 or native_bridge.get_lib() is None or \
+                not hasattr(native_bridge.get_lib(), "gm_count_multi"):
+            return None
+        if self.n_core_edges * self.words * 4 > self.Y2FULL_BUDGET:
+            return None
+        ea32 = self.ea.astype(np.int32)
+        eb32 = self.eb.astype(np.int32)
+        if self.n_core_edges == 0:
+            return None
+        # exact tri-task count up front: below the threshold the fixed
+        # big-dispatch shapes cost more (compile + padding) than the host
+        # streaming path
+        est = native_bridge.count_multi([self.bm_np, self.bm_np],
+                                        [ea32, eb32], self.words, self.c)
+        if int(est.sum(dtype=np.int64)) < self.DEV6_MIN_TRIS:
+            return None
+        y2full = jax.jit(lambda bm, a, b: bm[a] & bm[b])(
+            self.bm_dev, jnp.asarray(ea32), jnp.asarray(eb32))
+
+        # host: enumerate tri tasks (erow, c1) via the native expander
+        tri_parts = []
+        self._native_stream(1, self.c, 3, lambda st: tri_parts.append(
+            np.ascontiguousarray(st[:, 2:4])))
+        tris = (np.concatenate(tri_parts) if tri_parts
+                else np.zeros((0, 2), np.int32))
+        n_tri = tris.shape[0]
+        self.n_hi_tasks = 0
+        outs = []
+        if n_tri:
+            terow = np.ascontiguousarray(tris[:, 0])
+            tc1 = np.ascontiguousarray(tris[:, 1])
+            counts = native_bridge.count_multi(
+                [self.bm_np, self.bm_np, self.core_np],
+                [ea32[terow], eb32[terow], tc1], self.words, self.c)
+            self.n_hi_tasks = int(counts.sum(dtype=np.int64))
+            csum = np.concatenate([[0], np.cumsum(counts, dtype=np.int64)])
+            cdim = self.words * 32
+            b = 0
+            while b < n_tri:
+                # largest e with quads <= CAP6 and e - b <= T6
+                e = int(np.searchsorted(csum, csum[b] + self.CAP6,
+                                        side="right")) - 1
+                e = min(max(e, b + 1), b + self.T6, n_tri)
+                rr = np.full(self.T6, SENTINEL, np.int32)
+                cc = np.full(self.T6, SENTINEL, np.int32)
+                rr[: e - b] = terow[b:e]
+                cc[: e - b] = tc1[b:e]
+                outs.append(_tri_expand_bilinear(
+                    y2full, self.core_dev, self.y2hi, self.core_hi,
+                    self.bhh, jnp.asarray(rr), jnp.asarray(cc),
+                    words=self.words, hi_words=self.hi_words,
+                    slab=self.QSLAB, cap=self.CAP6, cdim=cdim))
+                b = e
+
+        # lo cliques + tail exactly as the streaming path
+        lo_outs = []
+
+        def lo_emit(state):
+            self.n_lo_tasks += state.shape[0]
+            lo_outs.append(_lo_popcount(
+                self.bm_dev, self.core_dev,
+                jnp.asarray(_dispatch_pad(state, 4096)),
+                words=self.words, chunk=4096, nrow=int(state.shape[1])))
+
+        self.n_lo_tasks = 0
+        self._native_stream(self.k - 3, self.lo_bits, 2, lo_emit)
+        self._ensure_tail()
+        total = self.tail_total
+        for arr in outs:
+            a = np.asarray(arr, dtype=np.int64)
+            total += int(a[:, 0].sum() + (a[:, 1].sum() << 16))
+        for arr in lo_outs:
+            total += int(np.asarray(arr, dtype=np.int64).sum())
+        return total
+
     def count(self) -> int:
         k = self.k
+        if k == 6:
+            got = self._count6_device()
+            if got is not None:
+                return got
         self.n_hi_tasks = self.n_lo_tasks = 0
         outs = []                   # device partials, pulled ONCE at the end
 

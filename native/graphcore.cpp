@@ -349,6 +349,30 @@ i64 gm_expand_emit(i64 n_tasks, i64 start, i64 words, i64 n_bits,
   return emitted;
 }
 
+// Popcount-only prepass: out_counts[t] = |AND of the task's bitmap rows|
+// below n_bits. Used to pick device-dispatch chunk boundaries with exact
+// expansion quotas (no trial-and-error capacity).
+void gm_count_multi(i64 n_tasks, i64 words, i64 n_bits, i64 n_src,
+                    const uint32_t* const* bases, const i32* const* rows,
+                    i32* out_counts) {
+  const i64 full_words = n_bits / 32;
+  const uint32_t tail_mask =
+      (n_bits % 32) ? ((uint32_t{1} << (n_bits % 32)) - 1) : 0;
+#pragma omp parallel for schedule(static)
+  for (i64 t = 0; t < n_tasks; ++t) {
+    i64 c = 0;
+    for (i64 w = 0; w < words; ++w) {
+      if (w > full_words) break;
+      uint32_t x = bases[0][(i64)rows[0][t] * words + w];
+      for (i64 s = 1; s < n_src; ++s)
+        x &= bases[s][(i64)rows[s][t] * words + w];
+      if (w == full_words) x &= tail_mask;
+      c += __builtin_popcount(x);
+    }
+    out_counts[t] = (i32)c;
+  }
+}
+
 // Per-vertex degree histogram utility (scheduler work estimates).
 void gm_degrees(i64 V, const i64* rowptr, i32* deg) {
 #pragma omp parallel for schedule(static)

@@ -70,3 +70,20 @@ def test_workload_routing():
     from graphminer_tpu.workloads.clique import clique_count
     g = rmat(10, 8, seed=7)
     assert clique_count(g, 6, fast=True) == clique_count(g, 6, fast=False)
+
+
+def test_k6_device_expansion_path():
+    """The k=6 device-side quad expansion (threshold lowered to force it)
+    must agree with the host streaming path."""
+    from graphminer_tpu.ops.cliquebig import CliqueBigEngine
+    g = rmat(12, 8, seed=23)
+    host = CliqueBigEngine(g, 6)
+    host.DEV6_MIN_TRIS = 1 << 62        # force host streaming
+    want = host.count()
+    dev = CliqueBigEngine(g, 6)
+    dev.DEV6_MIN_TRIS = 0               # force device expansion
+    dev.T6 = 1 << 12
+    dev.CAP6 = 1 << 16
+    dev.QSLAB = 1 << 10
+    assert dev.count() == want
+    assert dev.n_hi_tasks == host.n_hi_tasks
