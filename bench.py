@@ -43,10 +43,11 @@ EDGE_FACTOR = int(os.environ.get("BENCH_EDGE_FACTOR", "16"))
 SAMPLES = int(os.environ.get("BENCH_SAMPLES", "5"))
 RING_SCALE = int(os.environ.get("BENCH_RING_SCALE", "20"))
 # 6-clique section scale: rmat18 k=6 is exact but tunnel-transfer-bound
-# (~20 min measured, 2.28B prefix tasks x 16B shipped); default to 16 so
-# the section fits the driver's window. rmat18's number is pinned in
-# GOLDEN_C6 for full-scale runs (BENCH_CLIQUE6_SCALE=18).
-C6_SCALE = int(os.environ.get("BENCH_CLIQUE6_SCALE", str(min(SCALE, 16))))
+# (~20 min measured, 2.28B prefix tasks x 16B shipped; the device-side
+# expansion kernel that fixes this compile-hangs on the tunnel). Default
+# to 14 so the section fits the driver's window; rmat16/18 goldens are
+# pinned in GOLDEN_C6 for BENCH_CLIQUE6_SCALE=16/18 runs.
+C6_SCALE = int(os.environ.get("BENCH_CLIQUE6_SCALE", str(min(SCALE, 14))))
 # pinned goldens keyed (scale, edge_factor), seed=7; each cross-checked
 # between >= 2 independent backends
 GOLDEN = {(14, 16): 2860691, (16, 16): 15623664, (18, 16): 82947332}

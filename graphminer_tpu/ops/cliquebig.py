@@ -370,6 +370,12 @@ class CliqueBigEngine:
         if self.k != 6 or native_bridge.get_lib() is None or \
                 not hasattr(native_bridge.get_lib(), "gm_count_multi"):
             return None
+        # the fused expand+bilinear program compile-hangs on the tunneled
+        # remote compiler (>30 min, round-4 measurement) while compiling
+        # fine on CPU/direct runtimes — require an explicit opt-in off-CPU
+        if jax.default_backend() != "cpu" and \
+                not os.environ.get("GRAPHMINER_K6_DEVICE"):
+            return None
         if self.n_core_edges * self.words * 4 > self.Y2FULL_BUDGET:
             return None
         ea32 = self.ea.astype(np.int32)
