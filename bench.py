@@ -356,24 +356,78 @@ def main():
         gu = None
         _gc()
 
-    # ---- FSM at rmat16 (BASELINE config 5 analogue: labeled, minsup 300) ---
+    # ---- FSM (BASELINE config 5 analogue): citeseer (vlabel+elabel,
+    # frozen golden) + labeled rmat14. The gSpan level loop is host-driven
+    # with many per-(nv,cap) compiles — hostile to the tunnel's remote
+    # compiler — so the section tries the chip briefly and falls back to a
+    # CPU subprocess (same code path, CPU backend) to always capture a
+    # number.
+    def _fsm_subprocess(timeout_s: int):
+        import subprocess
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            "import time, numpy as np\n"
+            "import sys; sys.path.insert(0, %r)\n"
+            "from graphminer_tpu import load_graph\n"
+            "from graphminer_tpu.io.synth import rmat\n"
+            "from graphminer_tpu.workloads.fsm import fsm_count\n"
+            "g = load_graph('/root/reference/inputs/citeseer/graph',\n"
+            "               use_vlabel=True, use_elabel=True)\n"
+            "t0 = time.time(); n = fsm_count(g, 3, 100)\n"
+            "print('citeseer', n, round(time.time() - t0, 1))\n"
+            "gl = rmat(14, 8, seed=7)\n"
+            "gl.vlabels = np.random.default_rng(7).integers(\n"
+            "    1, 5, gl.n_vertices).astype(np.uint8)\n"
+            "t0 = time.time(); n = fsm_count(gl, 2, 300)\n"
+            "print('rmat14', n, round(time.time() - t0, 1))\n"
+        ) % (os.path.dirname(os.path.abspath(__file__)),)
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s)
+        if r.returncode != 0:
+            raise RuntimeError(r.stderr.decode()[-300:])
+        outm = {}
+        for line in r.stdout.decode().splitlines():
+            tag, n, dt = line.split()
+            outm[tag] = (int(n), float(dt))
+        return outm
+
     try:
         _alarm(SECTION_TIMEOUT)
         import numpy as _np
-        from graphminer_tpu.io.synth import rmat
+        from graphminer_tpu import load_graph as _lg
         from graphminer_tpu.workloads.fsm import fsm_count
-        gl = rmat(16, 8, seed=7)
-        gl.vlabels = _np.random.default_rng(7).integers(
-            1, 5, gl.n_vertices).astype(_np.uint8)
+        gl = _lg('/root/reference/inputs/citeseer/graph',
+                 use_vlabel=True, use_elabel=True)
         t0 = time.time()
-        nfreq = _retry(lambda: fsm_count(gl, 2, 300), what="fsm")
-        extra["fsm_rmat16_k2_ms300_s"] = round(time.time() - t0, 1)
-        extra["fsm_rmat16_k2_ms300_frequent"] = nfreq
-        sys.stderr.write(f"fsm rmat16 k=2 minsup=300: {nfreq} frequent in "
-                         f"{extra['fsm_rmat16_k2_ms300_s']}s\n")
+        nfreq = _retry(lambda: fsm_count(gl, 3, 100), what="fsm")
+        dt = round(time.time() - t0, 1)
+        if nfreq != 4:     # frozen golden, independently verified
+            raise AssertionError(f"fsm citeseer {nfreq} != 4")
+        extra["fsm_citeseer_k3_ms100_s"] = dt
+        extra["fsm_citeseer_k3_ms100_frequent"] = nfreq
+        extra["fsm_backend"] = "device"
+        sys.stderr.write(f"fsm citeseer k=3 minsup=100: {nfreq} in {dt}s\n")
     except Exception as e:
-        sys.stderr.write(f"fsm bench failed: {type(e).__name__}: {e}\n")
-        extra["fsm_error"] = f"{type(e).__name__}: {e}"[:200]
+        sys.stderr.write(f"fsm on-device failed ({type(e).__name__}: {e});"
+                         f" falling back to CPU subprocess\n")
+        try:
+            _alarm(SECTION_TIMEOUT)
+            res = _fsm_subprocess(SECTION_TIMEOUT - 10)
+            n, dt = res["citeseer"]
+            if n != 4:
+                raise AssertionError(f"fsm citeseer {n} != 4")
+            extra["fsm_citeseer_k3_ms100_s"] = dt
+            extra["fsm_citeseer_k3_ms100_frequent"] = n
+            n14, dt14 = res["rmat14"]
+            extra["fsm_rmat14_k2_ms300_s"] = dt14
+            extra["fsm_rmat14_k2_ms300_frequent"] = n14
+            extra["fsm_backend"] = "cpu-subprocess"
+            sys.stderr.write(f"fsm (cpu): citeseer {n} in {dt}s, "
+                             f"rmat14 {n14} in {dt14}s\n")
+        except Exception as e2:
+            sys.stderr.write(f"fsm bench failed: {type(e2).__name__}: "
+                             f"{e2}\n")
+            extra["fsm_error"] = f"{type(e2).__name__}: {e2}"[:200]
     finally:
         _alarm_off()
 
