@@ -392,7 +392,8 @@ def main():
         return outm
 
     try:
-        _alarm(SECTION_TIMEOUT)
+        # short leash on-device: leave the section window for the fallback
+        _alarm(min(300, SECTION_TIMEOUT))
         import numpy as _np
         from graphminer_tpu import load_graph as _lg
         from graphminer_tpu.workloads.fsm import fsm_count

@@ -132,6 +132,73 @@ def _enum_tasks(bm: np.ndarray, core: np.ndarray, inb: np.ndarray,
     return y2hi.view(np.int32), cat(tri_parts, 2), cat(lo_parts, k - 1)
 
 
+def _emit_all(bases, rows, attrs, words: int, n_bits: int, ncol: int,
+              cap: int = 32 << 20) -> np.ndarray:
+    """Collect the native expander's full output as one [n, ncol] int32
+    array (resumable over the bounded buffer)."""
+    from .. import native_bridge
+    n = rows[0].shape[0]
+    parts = []
+    buf = np.empty((cap, ncol), np.int32)
+    start = 0
+    while start < n:
+        n_em, nxt = native_bridge.expand_emit(bases, rows, attrs, words,
+                                              n_bits, start, cap, buf)
+        if n_em == 0 and nxt == start:
+            raise RuntimeError("expander cap too small")
+        if n_em:
+            parts.append(buf[:n_em].copy())
+        start = nxt
+    return (np.concatenate(parts) if parts
+            else np.zeros((0, ncol), np.int32))
+
+
+def _enum_tasks_native(bm, core, inb, ea, eb, c: int, lo_cut: int,
+                       hi_words: int, k: int):
+    """Native (C++/OpenMP ctz) version of _enum_tasks' bit enumeration —
+    the numpy unpackbits path measured 164 s (k=4) / 255 s (k=5) of prep
+    on rmat18; the expander reads rows + emits tasks directly. Returns
+    None when the native lib is unavailable."""
+    from .. import native_bridge
+    lib = native_bridge.get_lib()
+    if lib is None or not hasattr(lib, "gm_expand_emit"):
+        return None
+    words = bm.shape[1]
+    n = ea.shape[0]
+    y2hi = np.empty((max(n, 1), hi_words), dtype=np.uint32)
+    y2hi[:] = 0
+    for s in range(0, n, CHUNK_EDGES):
+        a = ea[s:s + CHUNK_EDGES].astype(np.int64)
+        b = eb[s:s + CHUNK_EDGES].astype(np.int64)
+        y2hi[s:s + a.shape[0]] = (bm[a] & bm[b])[:, words - hi_words:]
+    ea32 = np.ascontiguousarray(ea.astype(np.int32))
+    eb32 = np.ascontiguousarray(eb.astype(np.int32))
+    eidx = np.arange(n, dtype=np.int32)
+    tri = np.zeros((0, 2), np.int32)
+    lo = np.zeros((0, k - 1), np.int32)
+    if n:
+        if k == 5:
+            # (edge_row, c1) triangle tasks over the whole core
+            tri = _emit_all([bm, bm], [ea32, eb32], [eidx], words, c, 2)
+        if lo_cut > 0:
+            ed = _emit_all([bm, bm], [ea32, eb32], [ea32, eb32], words,
+                           lo_cut, 3)           # (a, b, d) with d < lo_cut
+            if k == 4:
+                lo = ed
+            elif ed.shape[0]:
+                # c ∈ y₂ ∩ IN(d): one more level; output (a, b, d, c) →
+                # reorder to (a, b, c, d)
+                abdc = _emit_all(
+                    [bm, bm, inb],
+                    [np.ascontiguousarray(ed[:, 0]),
+                     np.ascontiguousarray(ed[:, 1]),
+                     np.ascontiguousarray(ed[:, 2])],
+                    [np.ascontiguousarray(ed[:, j]) for j in range(3)],
+                    words, c, 4)
+                lo = abdc[:, [0, 1, 3, 2]]
+    return y2hi.view(np.int32), tri, lo
+
+
 # --------------------------------------------------------------------------
 # device kernels
 # --------------------------------------------------------------------------
@@ -279,8 +346,13 @@ class CliqueKEngine:
         self.bhh = _hi_adj_bf16(self.core, words=words,
                                 hi_words=self.hi_words)
 
-        y2hi, tri, lo = _enum_tasks(bm, core_np, inb, ea, eb, c, lo_cut,
-                                    self.hi_words, k)
+        nat = _enum_tasks_native(bm, core_np, inb, ea, eb, c, lo_cut,
+                                 self.hi_words, k)
+        if nat is not None:
+            y2hi, tri, lo = nat
+        else:
+            y2hi, tri, lo = _enum_tasks(bm, core_np, inb, ea, eb, c, lo_cut,
+                                        self.hi_words, k)
         self.n_tri = int(tri.shape[0])
         self.n_lo = int(lo.shape[0])
         if k == 4:
