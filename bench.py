@@ -261,12 +261,31 @@ def main():
             f"ring rmat{RING_SCALE}: {ring.n_edges} tasks "
             f"{extra['ring_bytes_gb']}GB "
             f"{rs['edges_per_s']/1e6:.1f}M edges/s tri={rtot}\n")
+        # hybrid tier at the same scale: ring-C core table + fused
+        # sub-core stream (the speed point of the memory ladder)
+        ring = None
+        _gc()
+        from graphminer_tpu.ops.hybrid import HybridEngine
+        t0 = time.time()
+        hyb = HybridEngine(gr)
+        extra["hybrid_prep_s"] = round(time.time() - t0, 1)
+        extra["hybrid_bytes_gb"] = round(hyb.nbytes() / 1e9, 3)
+        htot = _retry(hyb.count, what="hybrid count")
+        if htot != rtot:
+            raise AssertionError(f"hybrid {htot} != ring {rtot}")
+        hs = _retry(lambda: hyb.timed_slope(samples=3),
+                    what="hybrid slope")
+        extra[f"hybrid_tc_edges_per_s_rmat{RING_SCALE}"] = hs["edges_per_s"]
+        sys.stderr.write(
+            f"hybrid rmat{RING_SCALE}: {extra['hybrid_bytes_gb']}GB "
+            f"{hs['edges_per_s']/1e6:.1f}M edges/s (== ring count)\n")
+        hyb = None
     except Exception as e:  # ring metric is additive; never sink the bench
         sys.stderr.write(f"ring bench failed: {type(e).__name__}: {e}\n")
         extra["ring_error"] = f"{type(e).__name__}: {e}"[:200]
     finally:
         _alarm_off()
-        ring = ring_chk = gr = None
+        ring = ring_chk = gr = hyb = None
         _gc()
 
     # ---- 4/5-clique: hi/lo-split MXU engine (BASELINE config 2 metric) -----
