@@ -63,6 +63,10 @@ class _SectionTimeout(Exception):
     pass
 
 
+class _SectionDone(Exception):
+    """Early, non-error exit from a section's optional sub-part."""
+
+
 def _alarm(seconds: int):
     """Best-effort wall-clock guard for OPTIONAL bench sections: SIGALRM
     raises inside the section's try block so one slow section (e.g. FSM on
@@ -262,7 +266,12 @@ def main():
             f"{extra['ring_bytes_gb']}GB "
             f"{rs['edges_per_s']/1e6:.1f}M edges/s tri={rtot}\n")
         # hybrid tier at the same scale: ring-C core table + fused
-        # sub-core stream (the speed point of the memory ladder)
+        # sub-core stream (the speed point of the memory ladder).
+        # OPT-IN: a validation run OOM'd the chip here at rmat20 and the
+        # ResourceExhausted state then poisoned every later section —
+        # worse than losing this one metric.
+        if not os.environ.get("BENCH_HYBRID"):
+            raise _SectionDone()
         ring = None
         _gc()
         from graphminer_tpu.ops.hybrid import HybridEngine
@@ -280,6 +289,8 @@ def main():
             f"hybrid rmat{RING_SCALE}: {extra['hybrid_bytes_gb']}GB "
             f"{hs['edges_per_s']/1e6:.1f}M edges/s (== ring count)\n")
         hyb = None
+    except _SectionDone:
+        pass
     except Exception as e:  # ring metric is additive; never sink the bench
         sys.stderr.write(f"ring bench failed: {type(e).__name__}: {e}\n")
         extra["ring_error"] = f"{type(e).__name__}: {e}"[:200]
