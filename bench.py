@@ -40,7 +40,7 @@ BENCH_BASELINE_EDGES_PER_S = 1.0e9
 
 SCALE = int(os.environ.get("BENCH_SCALE", "18"))
 EDGE_FACTOR = int(os.environ.get("BENCH_EDGE_FACTOR", "16"))
-SAMPLES = int(os.environ.get("BENCH_SAMPLES", "5"))
+SAMPLES = int(os.environ.get("BENCH_SAMPLES", "9"))
 RING_SCALE = int(os.environ.get("BENCH_RING_SCALE", "20"))
 # 6-clique section scale: rmat18 k=6 is exact but tunnel-transfer-bound
 # (~20 min measured, 2.28B prefix tasks x 16B shipped; the device-side
