@@ -23,7 +23,7 @@ import time
 def main(argv=None):
     p = argparse.ArgumentParser(prog="graphminer_tpu")
     p.add_argument("workload", choices=["tc", "clique", "sgl", "motif", "sc",
-                                        "fsm", "gks", "info"])
+                                        "fsm", "gks", "query", "info"])
     p.add_argument("graph", help="graph prefix (…/graph)")
     p.add_argument("args", nargs="*", help="workload args")
     from .config import Config
@@ -57,9 +57,13 @@ def main(argv=None):
 
     from . import load_graph
 
-    needs_labels = ns.workload in ("fsm", "gks")
+    needs_labels = ns.workload in ("fsm", "gks", "query")
+    # FSM patterns carry EDGE labels too (dfscode.h parity): without
+    # use_elabel the CLI would compute the collapsed no-elabel count and
+    # disagree with the frozen citeseer anchor (4 @ k<=3 minsup=100)
     t0 = time.time()
-    g = load_graph(ns.graph, use_vlabel=needs_labels)
+    g = load_graph(ns.graph, use_vlabel=needs_labels,
+                   use_elabel=ns.workload == "fsm")
     t_load = time.time() - t0
 
     t0 = time.time()
@@ -133,6 +137,25 @@ def main(argv=None):
         minsup = int(ns.args[1]) if len(ns.args) > 1 else 300
         out["total"] = fsm_count(g, k, minsup)
         out.update(k=k, minsup=minsup)
+    elif ns.workload == "query":
+        # labeled subgraph query (reference query_omp_base: src/query/main.cc
+        # `query <data_graph> <query_graph>`): @<pattern_file> in the
+        # reference's adj-text/CSR formats, or an inline spec
+        # "<vl0>,<vl1>,...:<u>-<v>,<u>-<v>,..." (labels : edges)
+        from .core.pattern_graph import PatternGraph
+        from .workloads.query import make_query, query_count
+        spec = ns.args[0] if ns.args else None
+        if spec is None:
+            raise SystemExit("query needs @<pattern_file> or vl,..:u-v,..")
+        if spec.startswith("@"):
+            q = PatternGraph.from_file(spec[1:])
+        else:
+            labs, _, edges = spec.partition(":")
+            q = make_query([tuple(int(x) for x in e.split("-"))
+                            for e in edges.split(",") if e],
+                           [int(x) for x in labs.split(",")])
+        out["total"] = query_count(g, q, chunk=ns.chunk)
+        out["query"] = spec
     elif ns.workload == "gks":
         from .workloads.keyword import gks_count
         k = int(ns.args[0]) if ns.args else 3

@@ -216,9 +216,13 @@ def _spawn_cpu_tail(rg, k: int, src: np.ndarray, dst: np.ndarray):
     ) % (os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))),
          os.path.join(d, "in.npz"), os.path.join(d, "out.txt"))
+    # stderr to a file, not a pipe: >64KB of JAX warnings on a full pipe
+    # would block the child mid-run and silently lose the tail/device
+    # overlap (the parent only drains at _ensure_tail)
+    errf = open(os.path.join(d, "err.txt"), "wb")
     proc = subprocess.Popen([_sys.executable, "-c", code],
-                            stdout=subprocess.DEVNULL,
-                            stderr=subprocess.PIPE)
+                            stdout=subprocess.DEVNULL, stderr=errf)
+    errf.close()
     return proc, d
 
 
@@ -480,7 +484,7 @@ class CliqueBigEngine:
 
         from .. import native_bridge
         native = (native_bridge.get_lib() is not None
-                  and hasattr(native_bridge.get_lib(), "gm_expand_multi"))
+                  and hasattr(native_bridge.get_lib(), "gm_expand_emit"))
         if native:
             def hi_emit(state):
                 self.n_hi_tasks += state.shape[0]
@@ -534,8 +538,13 @@ class CliqueBigEngine:
             return
         import shutil
         proc, d = self._tail_proc
-        _, err = proc.communicate()
+        proc.communicate()
         if proc.returncode != 0:
+            try:
+                with open(os.path.join(d, "err.txt"), "rb") as f:
+                    err = f.read()
+            except OSError:
+                err = b""
             raise RuntimeError(
                 f"CPU tail subprocess failed: {err.decode()[-500:]}")
         with open(os.path.join(d, "out.txt")) as f:

@@ -288,9 +288,13 @@ def _bucket_counts_fused(dst_rows, src_rows, *, words: int, wtv: int):
     R * (per-row upper bound width*(32*words + wta*wtv)) < 2^30."""
     n_pad, width, row_w = src_rows.shape
     wta = row_w - words
-    bound = width * (32 * words + wta * wtv) + 1
+    # true per-row maximum: each of `width` tasks contributes <= 32*words
+    # hub bits + <= min(wta, wtv) T matches (an intersection cannot exceed
+    # the shorter list)
+    bound = width * (32 * words + min(wta, wtv)) + 1
     r = max(8, min(1 << 16, (1 << 30) // bound))
     r = 1 << (r.bit_length() - 1)
+    assert r * bound < (1 << 31), (r, bound)   # int32 partials stay exact
     g = cdiv(n_pad, r)
     pad = g * r - n_pad
     if pad:

@@ -89,11 +89,19 @@ def test_k6_device_expansion_path():
     assert dev.n_hi_tasks == host.n_hi_tasks
 
 
-def test_clique78_rmat12_frozen_anchors():
-    """Frozen rmat12 ef16 seed7 anchors for the deepest recursion depths:
-    7-cliques = 632,745,449 and 8-cliques = 2,295,344,783 — each verified
+def test_clique7_rmat12_frozen_anchor():
+    """Frozen rmat12 ef16 seed7 anchor: 7-cliques = 632,745,449 — verified
     against an independent (core=512, hi=64) split (different bilinear
-    region, lo population and tail). Exercises 3- and 4-level prefix
-    chains through the native expander at a scale with real hubs."""
+    region, lo population and tail). Exercises 3-level prefix chains
+    through the native expander at a scale with real hubs."""
     g = rmat(12, 16, seed=7)
     assert cliquebig_count(g, 7) == 632745449
+
+
+@pytest.mark.slow
+def test_clique8_rmat12_frozen_anchor():
+    """Frozen rmat12 ef16 seed7 anchor: 8-cliques = 2,295,344,783 (verified
+    on two (core, hi) splits in round 4) — the only executable coverage of
+    4-level prefix chains at rmat scale (the ER oracle sweep stays tiny)."""
+    g = rmat(12, 16, seed=7)
+    assert cliquebig_count(g, 8) == 2295344783
