@@ -38,7 +38,13 @@ import time
 
 BENCH_BASELINE_EDGES_PER_S = 1.0e9
 
-SCALE = int(os.environ.get("BENCH_SCALE", "18"))
+# headline scale moved 18 → 19 in round 5: the word-span-sliced stream cut
+# device time to ~1.4 ms at rmat18 — below the tunnel's few-ms timing
+# jitter — so the two-size slope needs a larger graph for signal (rmat19:
+# ~4.2 GB stream, ~3 ms device). Workload sections stay at the scales with
+# pinned goldens (WSCALE).
+SCALE = int(os.environ.get("BENCH_SCALE", "19"))
+WSCALE = int(os.environ.get("BENCH_WORK_SCALE", "18"))
 EDGE_FACTOR = int(os.environ.get("BENCH_EDGE_FACTOR", "16"))
 SAMPLES = int(os.environ.get("BENCH_SAMPLES", "9"))
 RING_SCALE = int(os.environ.get("BENCH_RING_SCALE", "20"))
@@ -47,7 +53,7 @@ RING_SCALE = int(os.environ.get("BENCH_RING_SCALE", "20"))
 # expansion kernel that fixes this compile-hangs on the tunnel). Default
 # to 14 so the section fits the driver's window; rmat16/18 goldens are
 # pinned in GOLDEN_C6 for BENCH_CLIQUE6_SCALE=16/18 runs.
-C6_SCALE = int(os.environ.get("BENCH_CLIQUE6_SCALE", str(min(SCALE, 14))))
+C6_SCALE = int(os.environ.get("BENCH_CLIQUE6_SCALE", str(min(WSCALE, 14))))
 # pinned goldens keyed (scale, edge_factor), seed=7; each cross-checked
 # between >= 2 independent backends
 GOLDEN = {(14, 16): 2860691, (16, 16): 15623664, (18, 16): 82947332}
@@ -57,6 +63,11 @@ GOLDEN_CK = {(18, 16, 4): 2280263816}  # cross-checked vs wedge-Gram engine
 GOLDEN_C6 = {(13, 16): 631682339, (14, 16): 3345978434,
              (16, 16): 59924973905,   # two (core, hi) splits agree
              (18, 16): 1123232293537}  # two independent chip runs agree
+# rectangle/house fast-engine goldens keyed (pattern, scale, ef);
+# rmat14 values frontier-cross-checked (independent generic engine)
+GOLDEN_SGL = {("rectangle", 12, 16): 52988519,
+              ("rectangle", 13, 16): 172972822,
+              ("rectangle", 14, 16): 571816674}
 
 
 class _SectionTimeout(Exception):
@@ -209,6 +220,13 @@ def main():
                         f"count mismatch {total2} != {total}")
                 edges_per_s = slope["edges_per_s"]
                 tf = slope["times_full"]
+                # honest band: the min-based slope is the headline (tunnel
+                # jitter is one-sided), the median-based slope is the floor
+                th = slope["times_half"]
+                med = lambda x: sorted(x)[len(x) // 2]
+                de = slope["tasks_full"] - slope["tasks_half"]
+                extra["tc_edges_per_s_median"] = de / max(
+                    med(tf) - med(th), 1e-9)
                 sys.stderr.write(
                     f"triangles={total} slope={edges_per_s/1e6:.1f}M "
                     f"edges/s latency={min(tf)*1e3:.1f}ms (spread "
@@ -267,14 +285,24 @@ def main():
             f"{rs['edges_per_s']/1e6:.1f}M edges/s tri={rtot}\n")
         # hybrid tier at the same scale: ring-C core table + fused
         # sub-core stream (the speed point of the memory ladder).
-        # OPT-IN: a validation run OOM'd the chip here at rmat20 and the
-        # ResourceExhausted state then poisoned every later section —
-        # worse than losing this one metric.
-        if not os.environ.get("BENCH_HYBRID"):
-            raise _SectionDone()
+        # HBM pre-budget (round 5): an r4 validation run OOM'd here and the
+        # ResourceExhausted state poisoned every later section; instead of
+        # the env gate that replaced it, compute the EXACT materialized
+        # stream bytes host-side (plan_only) and only build when the whole
+        # hybrid engine fits a conservative budget.
+        ring_bytes = ring.layout.nbytes()
         ring = None
         _gc()
         from graphminer_tpu.ops.hybrid import HybridEngine
+        from graphminer_tpu.ops.ring import CORE as _RCORE
+        from graphminer_tpu.ops.stream import build_stream as _bs
+        sub_bytes = _bs(gr, core=_RCORE, dst_below=gr.n_vertices - _RCORE,
+                        plan_only=True)
+        est = ring_bytes + sub_bytes
+        extra["hybrid_bytes_est_gb"] = round(est / 1e9, 3)
+        if est > float(os.environ.get("BENCH_HYBRID_BUDGET_GB", "8")) * 1e9:
+            extra["hybrid_skipped"] = f"est {est/1e9:.2f}GB over budget"
+            raise _SectionDone()
         t0 = time.time()
         hyb = HybridEngine(gr)
         extra["hybrid_prep_s"] = round(time.time() - t0, 1)
@@ -306,21 +334,21 @@ def main():
         _gc()
         for k in (4, 5):
             t0 = time.time()
-            ck = CliqueKEngine(_dag(SCALE), k)
+            ck = CliqueKEngine(_dag(WSCALE), k)
             extra[f"clique{k}_prep_s"] = round(time.time() - t0, 1)
             t0 = time.time()
             ck_total = _retry(ck.count, what=f"clique{k}")
             extra[f"clique{k}_compile_s"] = round(time.time() - t0, 1)
-            want_ck = GOLDEN_CK.get((SCALE, EDGE_FACTOR, k))
+            want_ck = GOLDEN_CK.get((WSCALE, EDGE_FACTOR, k))
             if want_ck is not None and ck_total != want_ck:
                 raise AssertionError(
                     f"{k}-clique {ck_total} != golden {want_ck}")
             cks = _retry(lambda: ck.timed_slope(samples=3),
                          what=f"clique{k} slope")
-            extra[f"clique{k}_edges_per_s_rmat{SCALE}"] = cks["edges_per_s"]
-            extra[f"clique{k}_count_rmat{SCALE}"] = ck_total
+            extra[f"clique{k}_edges_per_s_rmat{WSCALE}"] = cks["edges_per_s"]
+            extra[f"clique{k}_count_rmat{WSCALE}"] = ck_total
             sys.stderr.write(
-                f"{k}-clique rmat{SCALE}: {ck_total} "
+                f"{k}-clique rmat{WSCALE}: {ck_total} "
                 f"{cks['edges_per_s']/1e6:.1f}M edges/s "
                 f"latency={cks['latency_s']*1e3:.0f}ms\n")
             ck = None
@@ -370,17 +398,56 @@ def main():
         from graphminer_tpu.io.synth import rmat
         from graphminer_tpu.ops.tri_support import diamond_count_fast
         _gc()
-        gu = rmat(SCALE, EDGE_FACTOR, seed=7)     # undirected input
+        gu = rmat(WSCALE, EDGE_FACTOR, seed=7)    # undirected input
         t0 = time.time()
         dia = _retry(lambda: diamond_count_fast(gu), what="diamond")
         dt = time.time() - t0                     # one-shot incl. compiles
-        extra[f"diamond_count_rmat{SCALE}"] = dia
+        extra[f"diamond_count_rmat{WSCALE}"] = dia
         extra["diamond_total_s"] = round(dt, 1)
-        sys.stderr.write(f"diamond rmat{SCALE}: {dia} in {dt:.1f}s "
+        sys.stderr.write(f"diamond rmat{WSCALE}: {dia} in {dt:.1f}s "
                          f"(one-shot incl. compile)\n")
     except Exception as e:
         sys.stderr.write(f"diamond bench failed: {type(e).__name__}: {e}\n")
         extra["diamond_error"] = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        _alarm_off()
+        gu = None
+        _gc()
+
+    # ---- rectangle + house fast engines (round 5: the non-clique SGL
+    # scale surface — src/sgl/README.md:58 rectangle_bj / house kernels).
+    # Counts are golden-checked at known scales (GOLDEN_SGL, cross-checked
+    # vs the frontier engine at rmat12/14) and split-checked (core=4096 vs
+    # 256 — disjoint case A/B/C partitions) at unpinned scales.
+    try:
+        _alarm(SECTION_TIMEOUT)
+        from graphminer_tpu.io.synth import rmat as _rmat
+        from graphminer_tpu.ops.house import house_count_fast
+        from graphminer_tpu.ops.rectangle import rectangle_count_fast
+        _gc()
+        gu = _rmat(WSCALE, EDGE_FACTOR, seed=7)
+        for name, fn in (("rectangle", rectangle_count_fast),
+                         ("house", house_count_fast)):
+            t0 = time.time()
+            n = _retry(lambda: fn(gu), what=name)
+            dt = time.time() - t0
+            want = GOLDEN_SGL.get((name, WSCALE, EDGE_FACTOR))
+            if want is not None:
+                if n != want:
+                    raise AssertionError(f"{name} {n} != golden {want}")
+            else:
+                n2 = _retry(lambda: fn(gu, core=256), what=f"{name} split")
+                if n2 != n:
+                    raise AssertionError(f"{name} split {n2} != {n}")
+            extra[f"{name}_count_rmat{WSCALE}"] = n
+            extra[f"{name}_total_s"] = round(dt, 1)
+            sys.stderr.write(f"{name} rmat{WSCALE}: {n} in {dt:.1f}s "
+                             f"(one-shot incl. compile)\n")
+            _gc()
+    except Exception as e:
+        sys.stderr.write(f"sgl-fast bench failed: {type(e).__name__}: "
+                         f"{e}\n")
+        extra["sgl_fast_error"] = f"{type(e).__name__}: {e}"[:200]
     finally:
         _alarm_off()
         gu = None
@@ -438,6 +505,21 @@ def main():
         extra["fsm_citeseer_k3_ms100_frequent"] = nfreq
         extra["fsm_backend"] = "device"
         sys.stderr.write(f"fsm citeseer k=3 minsup=100: {nfreq} in {dt}s\n")
+        # scale grid (round 5): labeled rmat16 at the OSDI minsup shape
+        # (OSDI-experiments-guide.md:109-124 runs mico/patents/youtube at
+        # minsup {300..5000}, max_edges=2) — still on device, still under
+        # the section alarm
+        from graphminer_tpu.io.synth import rmat as _rmatf
+        g16 = _rmatf(16, 8, seed=7)
+        g16.vlabels = _np.random.default_rng(7).integers(
+            1, 5, g16.n_vertices).astype(_np.uint8)
+        for ms in (1000, 300):
+            t0 = time.time()
+            nf = _retry(lambda: fsm_count(g16, 2, ms), what=f"fsm16/{ms}")
+            dtf = round(time.time() - t0, 1)
+            extra[f"fsm_rmat16_k2_ms{ms}_s"] = dtf
+            extra[f"fsm_rmat16_k2_ms{ms}_frequent"] = nf
+            sys.stderr.write(f"fsm rmat16 k=2 ms={ms}: {nf} in {dtf}s\n")
     except Exception as e:
         sys.stderr.write(f"fsm on-device failed ({type(e).__name__}: {e});"
                          f" falling back to CPU subprocess\n")

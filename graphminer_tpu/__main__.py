@@ -114,12 +114,8 @@ def main(argv=None):
         # pattern = a name (diamond, house, …) or @<pattern_file> in the
         # reference's adjacency-text / CSR-binary formats (pattern.cc:80)
         pattern = ns.args[0] if ns.args else "diamond"
-        if ns.fast and pattern.lower() == "diamond":
-            from .ops.tri_support import diamond_count_fast
-            out["total"] = diamond_count_fast(g)
-        else:
-            out["total"] = sgl_count(g, pattern, chunk=ns.chunk,
-                                     backend=ns.backend)
+        out["total"] = sgl_count(g, pattern, chunk=ns.chunk,
+                                 backend=ns.backend, fast=ns.fast)
         out["pattern"] = pattern
     elif ns.workload == "motif":
         from .workloads.motif import motif_count

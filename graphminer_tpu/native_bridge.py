@@ -83,6 +83,13 @@ def get_lib():
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64, pp, pp, ctypes.c_int64,
                 pp, ctypes.c_int64, i32p, i64p]
+        if hasattr(lib, "gm_t3ss"):
+            lib.gm_t3ss.restype = None
+            lib.gm_t3ss.argtypes = [ctypes.c_int64, i64p, i32p,
+                                    ctypes.c_int64, i32p]
+        if hasattr(lib, "gm_c4"):
+            lib.gm_c4.restype = ctypes.c_int64
+            lib.gm_c4.argtypes = [ctypes.c_int64, i64p, i32p]
         if hasattr(lib, "gm_csr_from_coo"):
             lib.gm_csr_from_coo.restype = ctypes.c_int64
             lib.gm_csr_from_coo.argtypes = [
@@ -208,6 +215,30 @@ def expand_emit(bases, rows, attrs, words: int, n_bits: int, start: int,
         n_tasks, start, words, n_bits, n_src, mk(bases_c), mk(rows_c),
         len(attrs), mk(attrs_c), cap, out.reshape(-1), nxt)
     return int(n), int(nxt[0])
+
+
+def t3ss(rowptr: np.ndarray, colidx: np.ndarray, cs: int):
+    """Sub-sub-mid 3-walk support per DAG edge (see gm_t3ss). Returns
+    int32 [E_directed] with entries valid at positions where col > row,
+    or None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gm_t3ss"):
+        return None
+    v = rowptr.shape[0] - 1
+    out = np.zeros(colidx.shape[0], dtype=np.int32)
+    lib.gm_t3ss(v, np.ascontiguousarray(rowptr, np.int64),
+                np.ascontiguousarray(colidx, np.int32), cs, out)
+    return out
+
+
+def c4_anchor(rowptr: np.ndarray, colidx: np.ndarray):
+    """Max-anchored 4-cycle count (gm_c4), or None without the lib."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gm_c4"):
+        return None
+    v = rowptr.shape[0] - 1
+    return int(lib.gm_c4(v, np.ascontiguousarray(rowptr, np.int64),
+                         np.ascontiguousarray(colidx, np.int32)))
 
 
 def count_multi(bases, rows, words: int, n_bits: int):

@@ -238,6 +238,47 @@ def _edge_hi_bilinear(y2hi, bhh, *, hi_words: int, slab: int):
     return jax.lax.map(body, rows)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("hi_words", "tcl", "rows_step"))
+def _tri_stream_bilinear(y2rows, cmat, core_hi, bhh, *, hi_words: int,
+                         tcl: int, rows_step: int):
+    """k=5 hi part over one triangle-count-class bucket.
+
+    y2rows: [n, hi_words] per-edge y₂ hi slices, MATERIALIZED in task
+    order — a sequential stream, no big-table gathers (the round-4
+    per-task y2hi_tab gather paid the ~65 ns gather wall and capped the
+    engine at ~12M tasks/s). cmat: [n, tcl] core-local c ids (SENTINEL
+    padded). Each (row, slot) task computes q_hh(y₂_hi & C_hi[c]) — the
+    only gather is the [c, hi_words] core table (~512 KB, cache-hot).
+    Returns int32 [n_steps, 2] lo/hi-16 partial sums (rows_step * tcl
+    tasks per step keeps the int32 partials exact)."""
+    hi = hi_words * 32
+    c = core_hi.shape[0]
+    rr = y2rows.reshape(-1, rows_step, hi_words)
+    cc = cmat.reshape(-1, rows_step, tcl)
+    # tasks per map step (rows_step * tcl) are sized for MXU efficiency
+    # (~2^18 — small steps serialize the pipeline, the r4 lax.map lesson);
+    # int32 exactness comes from INNER blocks of <= 2^15 tasks
+    # (per-task q < 2^16 in the lo16 lane after the split)
+    block = min(1 << 15, rows_step * tcl)
+
+    def body(xs):
+        y2, cl = xs
+        ok = (cl >= 0) & (cl < c)
+        yc = core_hi[jnp.where(ok, cl, 0)]           # [rs, tcl, hw]
+        y = jnp.where(ok[:, :, None], y2[:, None, :] & yc, 0)
+        x = _expand_bits(y.reshape(-1, hi_words), hi)
+        z = jax.lax.dot_general(x, bhh, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        per = jnp.sum(x.astype(jnp.float32) * z, axis=1).astype(jnp.int32)
+        p = per.reshape(-1, block)
+        return jnp.stack([jnp.sum(p & 0xFFFF, axis=1, dtype=jnp.int32),
+                          jnp.sum(p >> 16, axis=1, dtype=jnp.int32)],
+                         axis=1)
+
+    return jax.lax.map(body, (rr, cc)).reshape(-1, 2)
+
+
 @functools.partial(jax.jit, static_argnames=("hi_words", "slab"))
 def _tri_hi_bilinear(y2hi_tab, core_hi, bhh, trow, tcl, *, hi_words: int,
                      slab: int):
@@ -290,6 +331,54 @@ def _lo_popcount(bm, core_dev, cols, *, words: int, chunk: int, nrow: int):
     return jax.lax.map(body, xx)
 
 
+TRI_CLASSES = (2, 8, 32, 128, 512, 2048)
+
+
+def _bucket_tris(y2hi: np.ndarray, tri: np.ndarray,
+                 classes=TRI_CLASSES):
+    """Group per-triangle tasks by edge into triangle-count classes (the
+    stream-engine bucketing applied to k=5 prefix tasks).
+
+    tri: [T, 2] (edge_row, c) sorted by edge_row (native expander order).
+    Returns [(y2rows [n, hw], cmat [n, tcl])...] — per bucket, row i holds
+    one edge's y₂ hi slice and up to tcl of its c ids; edges with more
+    triangles than the top class split across rows (same y₂ replicated)."""
+    from .stream import _split_wide
+    if tri.shape[0] == 0:
+        return []
+    erow = tri[:, 0].astype(np.int64)
+    c1 = tri[:, 1]
+    uedge, istart = np.unique(erow, return_index=True)
+    tcnt = np.diff(np.concatenate([istart, [erow.shape[0]]]))
+    top = classes[-1]
+    rd, roff, rlen = _split_wide(uedge, tcnt, top)
+    rstart = np.repeat(istart, np.maximum(1, -(-tcnt // top))) + roff
+    wcl = np.asarray(classes)[np.searchsorted(classes, rlen, side="left")]
+    out = []
+    for wc in classes:
+        m = wcl == wc
+        if not m.any():
+            continue
+        n_d = int(m.sum())
+        # rows per kernel step: step * wc tasks ~ 2^15 — measured optimum
+        # on the chip: the expanded [tasks, hi] bf16 temp + f32 z stay
+        # near-VMEM-sized (a 2^18-task variant was HBM-temp-traffic-bound:
+        # 12.7M vs 24.3M tasks/s); int32 partials are exact per step
+        step = max(1, (1 << 15) // wc)
+        npad = round_up(max(n_d, 8), max(8, step))
+        cm = np.full((npad, wc), SENTINEL, dtype=np.int32)
+        starts_b, lens_b = rstart[m], rlen[m]
+        flat = starts_b[:, None] + np.arange(wc, dtype=np.int64)[None, :]
+        valid = np.arange(wc)[None, :] < lens_b[:, None]
+        cm[:n_d][valid] = c1[flat[valid]]
+        rows = np.zeros((npad, y2hi.shape[1]), dtype=np.int32)
+        rows[:n_d] = y2hi[rd[m]]
+        rt = np.zeros(npad, dtype=np.int32)
+        rt[:n_d] = lens_b
+        out.append((rows, cm, step, rt))
+    return out
+
+
 # --------------------------------------------------------------------------
 # engine
 # --------------------------------------------------------------------------
@@ -309,8 +398,14 @@ class CliqueKEngine:
     Exact: hi bilinear (MXU) + sparse lo tasks + sub-core frontier tail.
     Per-task integers < 2^24 (f32-exact); totals summed int64 on host."""
 
-    def __init__(self, g, k: int, core: int = CORE, hi: int = HI,
+    def __init__(self, g, k: int, core: int = CORE, hi: int = 0,
                  slab: int = SLAB, tail: bool = True):
+        """hi = 0 picks the default per k: 1024 for k=4 (per-edge tasks,
+        bit mass in the top 1024 ids), 512 for k=5 (per-triangle tasks:
+        y₃ bits concentrate harder, and the bilinear's hi² MACs/task
+        dominate — 4x fewer MACs beats the small extra lo population)."""
+        if not hi:
+            hi = HI if k == 4 else HI // 2
         assert k in (4, 5), "MXU fast path covers k=4,5; use the frontier"
         from ..core.plan import clique_plan
         from ..engine.frontier import count_pattern
@@ -357,13 +452,13 @@ class CliqueKEngine:
         self.n_lo = int(lo.shape[0])
         if k == 4:
             self.y2hi = jnp.asarray(_pad_rows(y2hi, slab, fill=0))
-            self.trow = self.tcl = None
+            self.tri_buckets = ()
         else:
-            self.y2hi = jnp.asarray(y2hi) if y2hi.size else \
-                jnp.zeros((1, self.hi_words), jnp.int32)
-            t2 = _pad_rows(tri, slab)
-            self.trow = jnp.asarray(t2[:, 0])
-            self.tcl = jnp.asarray(t2[:, 1])
+            # per-edge grouped triangle-task buckets: the y₂ side becomes a
+            # sequential materialized stream (no big-table gathers)
+            self.tri_buckets = tuple(
+                (jnp.asarray(rows), jnp.asarray(cm), step, rt)
+                for rows, cm, step, rt in _bucket_tris(y2hi, tri))
         self.lo_cols = jnp.asarray(_pad_rows(lo, 4096)) if lo.size else None
 
         self.tail_total = 0
@@ -377,28 +472,36 @@ class CliqueKEngine:
     # worker); host-chunking bounds each dispatch.
     DISPATCH_TASKS = 16 << 20
 
-    def _hi_total(self, *args) -> int:
+    def _hi_total(self, args) -> int:
+        outs = []
+        if self.k == 4:
+            (y2hi,) = args
+            step = round_up(self.DISPATCH_TASKS, self.slab)
+            for s in range(0, y2hi.shape[0], step):
+                outs.append(_edge_hi_bilinear(y2hi[s:s + step], self.bhh,
+                                              hi_words=self.hi_words,
+                                              slab=self.slab))
+        else:
+            for rows, cm, step, _rt in args:
+                tcl = int(cm.shape[1])
+                # rows per dispatch: a multiple of the kernel step keeping
+                # tasks/dispatch bounded (long dispatches trip the tunnel
+                # RPC deadline)
+                rstep = round_up(max(step, self.DISPATCH_TASKS // tcl),
+                                 step)
+                for s in range(0, rows.shape[0], rstep):
+                    outs.append(_tri_stream_bilinear(
+                        rows[s:s + rstep], cm[s:s + rstep], self.core_hi,
+                        self.bhh, hi_words=self.hi_words, tcl=tcl,
+                        rows_step=step))
         total = 0
-        step = round_up(self.DISPATCH_TASKS, self.slab)
-        n = args[0].shape[0]
-        for s in range(0, n, step):
-            if self.k == 4:
-                (y2hi,) = args
-                lohi = _edge_hi_bilinear(y2hi[s:s + step], self.bhh,
-                                         hi_words=self.hi_words,
-                                         slab=self.slab)
-            else:
-                trow, tcl = args
-                lohi = _tri_hi_bilinear(self.y2hi, self.core_hi, self.bhh,
-                                        trow[s:s + step], tcl[s:s + step],
-                                        hi_words=self.hi_words,
-                                        slab=self.slab)
-            lohi = np.asarray(lohi, dtype=np.int64)
-            total += int(lohi[:, 0].sum() + (lohi[:, 1].sum() << 16))
+        for lohi in outs:       # pulled AFTER all dispatches are queued
+            a = np.asarray(lohi, dtype=np.int64)
+            total += int(a[:, 0].sum() + (a[:, 1].sum() << 16))
         return total
 
     def _hi_args(self):
-        return (self.y2hi,) if self.k == 4 else (self.trow, self.tcl)
+        return (self.y2hi,) if self.k == 4 else self.tri_buckets
 
     def _lo_total(self) -> int:
         if self.lo_cols is None:
@@ -409,7 +512,7 @@ class CliqueKEngine:
         return int(np.asarray(parts, dtype=np.int64).sum())
 
     def count(self) -> int:
-        return (self._hi_total(*self._hi_args())
+        return (self._hi_total(self._hi_args())
                 + self._lo_total() + self.tail_total)
 
     def timed_slope(self, samples: int = 3):
@@ -417,26 +520,39 @@ class CliqueKEngine:
         the hi-bilinear pass (the dominant term; see stream.timed_slope)."""
         import time
         args_f = self._hi_args()
-        n = args_f[0].shape[0]
-        nh = max(self.slab, n // 2 // self.slab * self.slab)
-        args_h = tuple(a[:nh] for a in args_f)
-        _ = self._hi_total(*args_f)
-        _ = self._hi_total(*args_h)
+        if self.k == 4:
+            n = args_f[0].shape[0]
+            nh = max(self.slab, n // 2 // self.slab * self.slab)
+            full_tasks = self.n_core_edges
+            half_tasks = min(nh, full_tasks)
+            roll = lambda args, i: tuple(jnp.roll(a, i, axis=0)
+                                         for a in args)
+            args_h = (args_f[0][:nh],)
+        else:
+            def halve(b):
+                rows, cm, step, rt = b
+                h = max(step, rows.shape[0] // 2 // step * step)
+                return (rows[:h], cm[:h], step, rt[:h])
+            args_h = tuple(halve(b) for b in args_f)
+            full_tasks = self.n_tri
+            half_tasks = sum(int(b[3].sum()) for b in args_h)
+            roll = lambda args, i: tuple(
+                (jnp.roll(r, i, axis=0), jnp.roll(c, i, axis=0), s, rt)
+                for r, c, s, rt in args)
+        _ = self._hi_total(args_f)
+        _ = self._hi_total(args_h)
         tf, th = [], []
         for i in range(samples):
             t0 = time.time()
-            _ = self._hi_total(*(jnp.roll(a, i + 1, axis=0)
-                                 for a in args_f))
+            _ = self._hi_total(roll(args_f, i + 1))
             tf.append(time.time() - t0)
             t0 = time.time()
-            _ = self._hi_total(*(jnp.roll(a, i + 1, axis=0)
-                                 for a in args_h))
+            _ = self._hi_total(roll(args_h, i + 1))
             th.append(time.time() - t0)
         dt = min(tf) - min(th)
         # edge-equivalents: tasks for k=4 ARE edges; k=5 tasks are
         # triangles — report task throughput scaled back to case-A edges
-        full_tasks = self.n_core_edges if self.k == 4 else self.n_tri
-        de = full_tasks - min(nh, full_tasks)
+        de = full_tasks - half_tasks
         if dt < 0.1 * min(tf):
             # slope washed out by fixed dispatch costs — report the honest
             # dispatch-inclusive rate instead of an inflated quotient

@@ -36,18 +36,19 @@ from . import stream as _stream
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cspec", "sspec", "words_r", "words_s"))
+                   static_argnames=("cspec", "sspec", "words_r"))
 def _hybrid_partials(core_bm, carrays, bucket_arrays, salt, *, cspec, sspec,
-                     words_r: int, words_s: int):
+                     words_r: int):
     """ONE dispatch: ring phase-C buckets + stream buckets → int32 partials.
     salt permutes output order only (benchmark dispatch distinctness)."""
     outs = []
     for (src_bm, dst_loc), wc in zip(carrays, cspec):
         outs.append(_ring._cbucket_partials(
             core_bm, src_bm, dst_loc, words=words_r, wc=wc, per_task=False))
-    for (dst_rows, src_rows), (width, wtv, _wta) in zip(bucket_arrays, sspec):
+    for (dst_rows, src_rows), (width, wtv, _wta, ws) in zip(bucket_arrays,
+                                                            sspec):
         outs.append(_stream._bucket_counts_fused(
-            dst_rows, src_rows, words=words_s, wtv=wtv))
+            dst_rows, src_rows, words=ws, wtv=wtv))
     parts = jnp.concatenate(outs) if outs else jnp.zeros((1,), jnp.int32)
     return jnp.roll(parts, salt)
 
@@ -80,8 +81,7 @@ class HybridEngine:
     def partials(self, salt: int = 0):
         return _hybrid_partials(
             self.ring.core_bm, self.carrays, self.sarrays, jnp.int32(salt),
-            cspec=self.cspec, sspec=self.sspec, words_r=self.ring.words,
-            words_s=self.stream.layout.words)
+            cspec=self.cspec, sspec=self.sspec, words_r=self.ring.words)
 
     def count(self) -> int:
         from ..utils.profiling import PROFILER

@@ -51,6 +51,13 @@ WIDTH_CLASSES = (2, 8, 32, 128, 512, 2048)
 # Dst tail-width classes (sub-core dsts only): the T-compare costs
 # wta * wtv_class VPU ops per task, so tight dst classes matter.
 WTV_CLASSES = (0, 16, 48)
+# Dst word-span classes (round 5). popcount(CB[u] & CB[v]) only needs the
+# word range where the DST row has set bits (a & 0 = 0 — src bits outside
+# are irrelevant), and ids ascend by degree, so dst core-neighbors cluster
+# in the TOP words: bucketing dsts by top-word span and slicing BOTH sides'
+# rows to it cuts the materialized stream (and with it the HBM bytes/task —
+# the engine is bandwidth-bound at ~700 GB/s measured) by ~2-3x. Lossless.
+WS_CLASSES = (8, 32)
 # Target tasks per lax.map step (chunk_d = TASK_BLOCK / width). Large on
 # purpose: steps beyond ~1M tasks add nothing, but small steps serialize —
 # measured 267M tasks/s at 8k-task steps vs 785M fused (scripts/
@@ -61,21 +68,24 @@ TASK_BLOCK = 1 << 20
 
 @dataclasses.dataclass(frozen=True)
 class Bucket:
-    """One (in-degree class, dst-T class) group of dsts with padded
-    src-index lists. wtv == 0 covers both core dsts (closure: T[v] = ∅) and
-    sub-core dsts with empty tails — either way the T-compare is skipped."""
+    """One (in-degree class, dst-T class, word-span class) group of dsts
+    with padded src-index lists. wtv == 0 covers both core dsts (closure:
+    T[v] = ∅) and sub-core dsts with empty tails — either way the
+    T-compare is skipped. ws = bitmap words kept (the TOP ws words of the
+    core space — every set bit of every dst row in the bucket lies there)."""
     width: int              # src slots per dst row (in-degree class)
     wtv: int                # dst T slots kept (0 -> popcount only)
     wta: int                # src T slots kept (0 when wtv == 0)
+    ws: int                 # bitmap words kept (dst top-word span class)
     n_dst: int              # padded dst-row count
-    dst_rows: jax.Array     # [n_dst, words + wtv]
-    src_rows: jax.Array     # [n_dst, width, words + wta]
+    dst_rows: jax.Array     # [n_dst, ws + wtv]
+    src_rows: jax.Array     # [n_dst, width, ws + wta]
     n_tasks: int            # true (unpadded) task count
     row_tasks: Optional[np.ndarray] = None  # host int32 [n_dst] true tasks/row
 
     @property
     def spec(self):
-        return (self.width, self.wtv, self.wta)
+        return (self.width, self.wtv, self.wta, self.ws)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,41 +114,65 @@ def _split_wide(dst: np.ndarray, indeg: np.ndarray, top: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("width", "words", "wtv", "wta"))
+                   static_argnames=("width", "words", "wtv", "wta", "ws"))
 def _materialize(table, dsts, src_idx, *, width: int, words: int, wtv: int,
-                 wta: int):
-    """Gather dst rows + task-aligned src rows on device (prep-time only).
+                 wta: int, ws: int):
+    """Gather dst rows + task-aligned src rows on device (prep-time only),
+    sliced to the bucket's top-ws bitmap words (CB top + T slots are
+    contiguous columns [words - ws, words + wt) of the layout row).
 
     SENTINEL src slots materialize as bitmap=0 / T=SENTINEL so they
     contribute exactly 0 at count time."""
     v = table.shape[0]
-    rows_d = table[dsts][:, :words + wtv]
+    lo = words - ws
+    rows_d = table[dsts][:, lo:words + wtv]
     safe = jnp.clip(src_idx, 0, v - 1)
     ok = (src_idx >= 0) & (src_idx < v)
-    rows_s = table[safe.reshape(-1)][:, :words + wta].reshape(
-        src_idx.shape[0], width, words + wta)
-    bm = jnp.where(ok[:, :, None], rows_s[:, :, :words], 0)
+    rows_s = table[safe.reshape(-1)][:, lo:words + wta].reshape(
+        src_idx.shape[0], width, ws + wta)
+    bm = jnp.where(ok[:, :, None], rows_s[:, :, :ws], 0)
     if wta == 0:
         return rows_d, bm
-    t = jnp.where(ok[:, :, None], rows_s[:, :, words:], SENTINEL)
+    t = jnp.where(ok[:, :, None], rows_s[:, :, ws:], SENTINEL)
     return rows_d, jnp.concatenate([bm, t], axis=2)
 
 
 def build_stream(g, core: int = 4096, classes=WIDTH_CLASSES,
                  wtv_classes=WTV_CLASSES,
-                 dst_below: Optional[int] = None) -> StreamLayout:
+                 dst_below: Optional[int] = None, plan_only: bool = False):
     """g: undirected host graph (or an already-oriented DAG). Relabels
     ascending by degree, orients, builds the HubLayout and the bucketed
     reverse-CSR stream.
 
     dst_below: keep only tasks with dst id < dst_below (the hybrid engine
     materializes just the sub-core tasks this way and routes core-dst tasks
-    through the ring phase-C table — ops/hybrid.py)."""
+    through the ring phase-C table — ops/hybrid.py).
+
+    plan_only: return the EXACT materialized byte count instead of
+    building (the HBM pre-budget for bench gating — nothing bucket-sized
+    touches the device)."""
     if g.is_dag:
         rg = g
     else:
         rg = g.relabel_by_degree(descending=False).orientation()
-    lay = build_hub_layout(rg, core=core)
+    if plan_only:
+        # host-only shadow of build_hub_layout's shape arithmetic — no
+        # device allocation for the pre-budget estimate
+        import types
+        v_ = rg.n_vertices
+        c_ = min(core, v_)
+        cs_ = v_ - c_
+        deg_ = np.diff(rg.rowptr).astype(np.int64)
+        src_ = np.repeat(np.arange(v_, dtype=np.int64), deg_)
+        tw = np.bincount(src_[rg.colidx.astype(np.int64) < cs_],
+                         minlength=v_).astype(np.int32)
+        wt_max = int(tw.max(initial=0))
+        lay = types.SimpleNamespace(
+            words=round_up(max(1, cdiv(c_, 32)), 8), core_start=cs_,
+            wt_pad=round_up(max(8, wt_max), 8) if wt_max else 0,
+            t_width=tw, table=None)
+    else:
+        lay = build_hub_layout(rg, core=core)
     v = rg.n_vertices
 
     deg = np.diff(rg.rowptr).astype(np.int64)
@@ -193,46 +227,74 @@ def build_stream(g, core: int = 4096, classes=WIDTH_CLASSES,
     wta_cl = np.minimum(wta_cl, lay.wt_pad)
     wta_cl = np.where(need_wta, wta_cl, 0)
 
+    # dst top-word span class: rows are sorted ascending with the sub
+    # prefix first (t_width entries), so the FIRST core out-neighbor gives
+    # the lowest set word of the dst bitmap; slice both sides to the top
+    # span (lossless: a & 0 = 0)
+    words = lay.words
+    cs = lay.core_start
+    has_core = deg > lay.t_width.astype(np.int64)
+    fc_pos = rg.rowptr[:-1] + lay.t_width.astype(np.int64)
+    first_core = rg.colidx[np.minimum(fc_pos, rg.colidx.shape[0] - 1)]
+    span = np.where(has_core,
+                    words - ((first_core.astype(np.int64) - cs) >> 5), 0)
+    ws_classes = tuple(sorted({min(w, words) for w in WS_CLASSES}
+                              | {words}))
+    ws_of = np.asarray(ws_classes)[np.clip(
+        np.searchsorted(ws_classes, span[rd], side="left"), 0,
+        len(ws_classes) - 1)]
+
     buckets = []
+    planned = 0
     for wc in classes:
-        for wtvc in sorted(set(wtv_of.tolist())):
-            for wtac in sorted(set(wta_cl[(wclass == wc)
-                                          & (wtv_of == wtvc)].tolist())):
-                m = (wclass == wc) & (wtv_of == wtvc) & (wta_cl == wtac)
+      for wtvc in sorted(set(wtv_of.tolist())):
+        sel0 = (wclass == wc) & (wtv_of == wtvc)
+        for wtac in sorted(set(wta_cl[sel0].tolist())):
+            sel1 = sel0 & (wta_cl == wtac)
+            for wsc in sorted(set(ws_of[sel1].tolist())):
+                m = sel1 & (ws_of == wsc)
                 if not m.any():
                     continue
                 n_d = int(m.sum())
+                # src T slots: this row-class's max src tail; irrelevant
+                # when the dst side has no tail (intersection empty)
+                wta = int(round_up(wtac, 8)) if (wtvc and wtac) else 0
+                # pad n_dst to a sublane multiple for clean tiling
+                n_pad = round_up(n_d, 8)
+                if plan_only:
+                    planned += 4 * n_pad * ((int(wsc) + int(wtvc))
+                                            + wc * (int(wsc) + wta))
+                    continue
                 si = np.full((n_d, wc), SENTINEL, dtype=np.int32)
                 starts_b, lens_b = rstart[m], rlen[m]
                 flat_pos = (starts_b[:, None]
                             + np.arange(wc, dtype=np.int64)[None, :])
                 valid = np.arange(wc)[None, :] < lens_b[:, None]
                 si[valid] = src_o[flat_pos[valid]]
-                # src T slots: this row-class's max src tail; irrelevant
-                # when the dst side has no tail (intersection empty)
-                wta = int(round_up(wtac, 8)) if (wtvc and wtac) else 0
-                # pad n_dst to a sublane multiple for clean tiling
-                n_pad = round_up(n_d, 8)
                 dsts_b = np.pad(rd[m], (0, n_pad - n_d),
                                 constant_values=0).astype(np.int32)
                 si = np.pad(si, ((0, n_pad - n_d), (0, 0)),
                             constant_values=SENTINEL)
                 dst_rows, src_rows = _materialize(
                     lay.table, jnp.asarray(dsts_b), jnp.asarray(si),
-                    width=wc, words=lay.words, wtv=int(wtvc), wta=wta)
+                    width=wc, words=words, wtv=int(wtvc), wta=wta,
+                    ws=int(wsc))
                 # padded dst rows may alias vertex 0; zero their bitmap+T
                 # so they cannot pair with padded src slots
                 if n_pad > n_d:
                     dst_rows = dst_rows.at[n_d:].set(
-                        jnp.where(jnp.arange(dst_rows.shape[1]) < lay.words,
+                        jnp.where(jnp.arange(dst_rows.shape[1]) < int(wsc),
                                   0, SENTINEL))
                 rt = np.zeros(n_pad, dtype=np.int32)
                 rt[:n_d] = lens_b
                 buckets.append(Bucket(width=wc, wtv=int(wtvc), wta=wta,
+                                      ws=int(wsc),
                                       n_dst=n_pad, dst_rows=dst_rows,
                                       src_rows=src_rows,
                                       n_tasks=int(lens_b.sum()),
                                       row_tasks=rt))
+    if plan_only:
+        return planned
     return StreamLayout(layout=lay, buckets=tuple(buckets),
                         n_tasks=int(dst.shape[0]))
 
@@ -318,23 +380,25 @@ def _bucket_counts_fused(dst_rows, src_rows, *, words: int, wtv: int):
     return hub + jnp.sum(m, axis=(1, 2, 3, 4), dtype=jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "words", "fused"))
-def _stream_partials(bucket_arrays, salt, *, spec, words: int,
-                     fused: bool = True):
+@functools.partial(jax.jit, static_argnames=("spec", "fused"))
+def _stream_partials(bucket_arrays, salt, *, spec, fused: bool = True):
     """ONE dispatch over all buckets -> concatenated int32 partial sums.
-    spec: ((width, wtv, wta), ...) aligned with bucket_arrays.
+    spec: ((width, wtv, wta, ws), ...) aligned with bucket_arrays — ws is
+    the per-bucket bitmap word count (rows are pre-sliced to the dst
+    top-word span).
 
     salt: int32 scalar that only permutes the output order (sum unchanged).
     Distinct salts make benchmark dispatches distinct inputs — the axon
     runtime memoizes executions by input content, so back-to-back timing
     iterations must differ somewhere."""
     outs = []
-    for (dst_rows, src_rows), (width, wtv, _wta) in zip(bucket_arrays, spec):
+    for (dst_rows, src_rows), (width, wtv, _wta, ws) in zip(bucket_arrays,
+                                                            spec):
         if fused:
             outs.append(_bucket_counts_fused(dst_rows, src_rows,
-                                             words=words, wtv=wtv))
+                                             words=ws, wtv=wtv))
         else:
-            outs.append(_bucket_counts_body(dst_rows, src_rows, words=words,
+            outs.append(_bucket_counts_body(dst_rows, src_rows, words=ws,
                                             wtv=wtv,
                                             chunk_d=_chunk_d_for(width)))
     parts = jnp.concatenate(outs) if outs else jnp.zeros((1,), jnp.int32)
@@ -361,7 +425,7 @@ class StreamEngine:
 
     def partials(self, salt: int = 0):
         return _stream_partials(self.arrays, jnp.int32(salt), spec=self.spec,
-                                words=self.words, fused=self.fused)
+                                fused=self.fused)
 
     def count(self) -> int:
         from ..utils.profiling import PROFILER

@@ -11,10 +11,30 @@ from ..core.plan import SGL_PLANS, plan_from_pattern
 from ..engine.frontier import count_pattern
 
 
-def sgl_count(g, pattern, chunk: int = 1024, backend: str = "auto") -> int:
+#: patterns with a specialized fast engine (pattern name -> counter)
+def _fast_engines():
+    from ..ops.house import house_count_fast
+    from ..ops.rectangle import rectangle_count_fast
+    from ..ops.tri_support import diamond_count_fast
+    return {"diamond": diamond_count_fast,
+            "rectangle": rectangle_count_fast,
+            "house": house_count_fast}
+
+
+def sgl_count(g, pattern, chunk: int = 1024, backend: str = "auto",
+              fast: bool = False) -> int:
     """Count a named pattern (hand-tuned plan when available, generated plan
     otherwise — the 'drop a generated kernel into cpu_kernels/' extension
-    point of the reference, omp_base.cc:16-52, as a single function call)."""
+    point of the reference, omp_base.cc:16-52, as a single function call).
+
+    fast=True (or backend="fast") routes named patterns with a specialized
+    engine (diamond → tri-support, rectangle → max-anchored codegree)."""
+    if backend == "fast":
+        fast, backend = True, "auto"
+    if fast and isinstance(pattern, str):
+        eng = _fast_engines().get(pattern.lower())
+        if eng is not None:
+            return eng(g)
     if isinstance(pattern, PatternGraph):
         plan = plan_from_pattern(pattern)
     elif pattern.startswith("@"):

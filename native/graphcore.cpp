@@ -373,6 +373,100 @@ void gm_count_multi(i64 n_tasks, i64 words, i64 n_bits, i64 n_src,
   }
 }
 
+// Sub-sub-mid 3-walk edge support (house/T3 decomposition, round 5).
+// Rows must be sorted ascending with sub-core ids (< cs) as the prefix.
+// For every DAG edge (u, v) with v > u (CSR entries where col > row),
+// out[csr_pos] = #{(x, y): x in N(u), y in N(v), x ~ y, x < cs, y < cs}
+// — the (sub, sub) middle-edge share of T3(u,v) = |edges between N(u)
+// and N(v)| (ordered sides). The core-mid shares run on the TPU (MXU
+// bilinear + WS-table dots, ops/house.py); this bounded part costs
+// O(sum_{x sub} deg(x) * ssdeg(x)) build + O(sum_v deg(v) * ftw(v))
+// L2-resident lookups. Entries at col <= row are left untouched.
+void gm_t3ss(i64 V, const i64* rowptr, const i32* colidx, i64 cs,
+             i32* out) {
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+    std::vector<i32> w2(V, 0);
+    std::vector<i32> touched;
+    touched.reserve(4096);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 64)
+#endif
+    for (i64 u = 0; u < V; ++u) {
+      // w2[y] = # sub x in N(u) with y in N(x), y sub
+      for (i64 p = rowptr[u]; p < rowptr[u + 1]; ++p) {
+        const i32 x = colidx[p];
+        if (x >= cs) break;  // sorted: sub prefix done
+        for (i64 q = rowptr[x]; q < rowptr[x + 1]; ++q) {
+          const i32 y = colidx[q];
+          if (y >= cs) break;
+          if (w2[y]++ == 0) touched.push_back(y);
+        }
+      }
+      if (!touched.empty()) {
+        for (i64 p = rowptr[u]; p < rowptr[u + 1]; ++p) {
+          const i32 v = colidx[p];
+          if (v <= u) continue;  // emit each undirected edge once (v > u)
+          i64 s = 0;
+          for (i64 q = rowptr[v]; q < rowptr[v + 1]; ++q) {
+            const i32 y = colidx[q];
+            if (y >= cs) break;
+            s += w2[y];
+          }
+          out[p] = (i32)s;
+        }
+        for (const i32 y : touched) w2[y] = 0;
+        touched.clear();
+      } else {
+        for (i64 p = rowptr[u]; p < rowptr[u + 1]; ++p)
+          if (colidx[p] > u) out[p] = 0;
+      }
+    }
+  }
+}
+
+// Max-anchored 4-cycle count (the Chiba–Nishizeki wedge pass; ids ARE the
+// anchor order). total = Σ_v Σ_{w<v} C(cnt, 2) with cnt = #{u ∈ N(v) ∩
+// N(w): u < v} — each 4-cycle counted once at the diagonal holding its
+// max vertex (the same anchoring as ops/rectangle.py's MXU form). Used as
+// the bounded-degree closer of the recursion: work = Σ wedges with both
+// legs below the anchor ≈ wedges/2 — affordable exactly where the core
+// split has peeled the hubs away. Rows must be sorted ascending.
+i64 gm_c4(i64 V, const i64* rowptr, const i32* colidx) {
+  i64 total = 0;
+#ifdef _OPENMP
+#pragma omp parallel reduction(+ : total)
+#endif
+  {
+    std::vector<i32> cnt(V, 0);
+    std::vector<i32> touched;
+    touched.reserve(4096);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 64)
+#endif
+    for (i64 v = 0; v < V; ++v) {
+      for (i64 p = rowptr[v]; p < rowptr[v + 1]; ++p) {
+        const i32 u = colidx[p];
+        if (u >= v) break;
+        for (i64 q = rowptr[u]; q < rowptr[u + 1]; ++q) {
+          const i32 w = colidx[q];
+          if (w >= v) break;
+          if (cnt[w]++ == 0) touched.push_back(w);
+        }
+      }
+      for (const i32 w : touched) {
+        const i64 c = cnt[w];
+        total += c * (c - 1) / 2;
+        cnt[w] = 0;
+      }
+      touched.clear();
+    }
+  }
+  return total;
+}
+
 // Per-vertex degree histogram utility (scheduler work estimates).
 void gm_degrees(i64 V, const i64* rowptr, i32* deg) {
 #pragma omp parallel for schedule(static)
