@@ -38,36 +38,46 @@ import time
 
 BENCH_BASELINE_EDGES_PER_S = 1.0e9
 
-# headline scale moved 18 → 19 in round 5: the word-span-sliced stream cut
-# device time to ~1.4 ms at rmat18 — below the tunnel's few-ms timing
-# jitter — so the two-size slope needs a larger graph for signal (rmat19:
-# ~4.2 GB stream, ~3 ms device). Workload sections stay at the scales with
-# pinned goldens (WSCALE).
-SCALE = int(os.environ.get("BENCH_SCALE", "19"))
+# round 5: the word-span-sliced stream cut rmat18 device time to ~1-3 ms —
+# near the tunnel's timing jitter — so the slope is reported as an honest
+# BAND: the headline value is the MEDIAN-based slope (robust floor), the
+# min-based slope (best case; jitter is one-sided) rides in extra_metrics.
+# (rmat19 was evaluated as a bigger-signal headline and rejected: its
+# stream layout is span-degraded to ~870 B/task — see PROGRESS notes.)
+SCALE = int(os.environ.get("BENCH_SCALE", "18"))
 WSCALE = int(os.environ.get("BENCH_WORK_SCALE", "18"))
 EDGE_FACTOR = int(os.environ.get("BENCH_EDGE_FACTOR", "16"))
-SAMPLES = int(os.environ.get("BENCH_SAMPLES", "9"))
+SAMPLES = int(os.environ.get("BENCH_SAMPLES", "15"))
 RING_SCALE = int(os.environ.get("BENCH_RING_SCALE", "20"))
-# 6-clique section scale: rmat18 k=6 is exact but tunnel-transfer-bound
-# (~20 min measured, 2.28B prefix tasks x 16B shipped; the device-side
-# expansion kernel that fixes this compile-hangs on the tunnel). Default
-# to 14 so the section fits the driver's window; rmat16/18 goldens are
-# pinned in GOLDEN_C6 for BENCH_CLIQUE6_SCALE=16/18 runs.
+# 6-clique section scale. Round 5: the k=6 device-expansion path is
+# re-armed (the tunnel's Mosaic/fused-program compile hang was fixed
+# upstream — measured rmat12 end-to-end in 28.5 s on-chip); default stays
+# 14 to bound the driver window, with rmat16/18 goldens pinned in
+# GOLDEN_C6 for BENCH_CLIQUE6_SCALE=16/18 runs.
 C6_SCALE = int(os.environ.get("BENCH_CLIQUE6_SCALE", str(min(WSCALE, 14))))
 # pinned goldens keyed (scale, edge_factor), seed=7; each cross-checked
 # between >= 2 independent backends
-GOLDEN = {(14, 16): 2860691, (16, 16): 15623664, (18, 16): 82947332}
+GOLDEN = {(14, 16): 2860691, (16, 16): 15623664, (18, 16): 82947332,
+          (19, 16): 187885040}   # r5: stream and ring chip runs agree
 GOLDEN_CK = {(18, 16, 4): 2280263816}  # cross-checked vs wedge-Gram engine
-# 6-cliques keyed (scale, ef); rmat13 frontier-verified, larger scales
-# cross-checked between two (core, hi) splits on the chip
+# 6-cliques keyed (scale, ef). Round 5: rmat13/14/16 CONFIRMED by the
+# genuinely independent native DAG-DFS backend (gm_kclique — sorted-merge
+# intersections, zero shared code with the bilinear engines); rmat13 also
+# frontier-verified; rmat18 = two independent chip runs of the streamed
+# engine (the DFS backend needs ~2 h there on this 2-CPU host).
 GOLDEN_C6 = {(13, 16): 631682339, (14, 16): 3345978434,
-             (16, 16): 59924973905,   # two (core, hi) splits agree
-             (18, 16): 1123232293537}  # two independent chip runs agree
-# rectangle/house fast-engine goldens keyed (pattern, scale, ef);
-# rmat14 values frontier-cross-checked (independent generic engine)
+             (16, 16): 59924973905,
+             (18, 16): 1123232293537}
+# rectangle/house fast-engine goldens keyed (pattern, scale, ef).
+# rectangle rmat14 verified against the dense-numpy pair identity
+# (scripts/verify_dense_r5.py) and rmat18 split-checked core=4096 vs 1024
+# (disjoint case partitions) on two chip runs. House rmat18 is left
+# UNPINNED on purpose: the section then split-checks it in-run every time.
 GOLDEN_SGL = {("rectangle", 12, 16): 52988519,
               ("rectangle", 13, 16): 172972822,
-              ("rectangle", 14, 16): 571816674}
+              ("rectangle", 14, 16): 571816674,
+              ("rectangle", 18, 16): 51349430411,
+              ("house", 14, 16): 294814195705}
 
 
 class _SectionTimeout(Exception):
@@ -218,15 +228,21 @@ def main():
                 if total2 != total:
                     raise AssertionError(
                         f"count mismatch {total2} != {total}")
-                edges_per_s = slope["edges_per_s"]
                 tf = slope["times_full"]
-                # honest band: the min-based slope is the headline (tunnel
-                # jitter is one-sided), the median-based slope is the floor
                 th = slope["times_half"]
                 med = lambda x: sorted(x)[len(x) // 2]
                 de = slope["tasks_full"] - slope["tasks_half"]
-                extra["tc_edges_per_s_median"] = de / max(
-                    med(tf) - med(th), 1e-9)
+                slope_min = slope["edges_per_s"]
+                slope_med = de / max(med(tf) - med(th), 1e-9)
+                # honest band: the device work (~1-3 ms at rmat18) sits
+                # near the tunnel jitter, so the MEDIAN-based slope is the
+                # headline (robust floor) and the min-based slope (best
+                # case — jitter is one-sided) is reported alongside; a
+                # degenerate median sample falls back to the min slope
+                edges_per_s = slope_med if 0 < slope_med < 4 * slope_min \
+                    else slope_min
+                extra["tc_edges_per_s_slope_min"] = slope_min
+                extra["tc_edges_per_s_slope_median"] = slope_med
                 sys.stderr.write(
                     f"triangles={total} slope={edges_per_s/1e6:.1f}M "
                     f"edges/s latency={min(tf)*1e3:.1f}ms (spread "
@@ -507,19 +523,30 @@ def main():
         sys.stderr.write(f"fsm citeseer k=3 minsup=100: {nfreq} in {dt}s\n")
         # scale grid (round 5): labeled rmat16 at the OSDI minsup shape
         # (OSDI-experiments-guide.md:109-124 runs mico/patents/youtube at
-        # minsup {300..5000}, max_edges=2) — still on device, still under
-        # the section alarm
-        from graphminer_tpu.io.synth import rmat as _rmatf
-        g16 = _rmatf(16, 8, seed=7)
-        g16.vlabels = _np.random.default_rng(7).integers(
-            1, 5, g16.n_vertices).astype(_np.uint8)
-        for ms in (1000, 300):
-            t0 = time.time()
-            nf = _retry(lambda: fsm_count(g16, 2, ms), what=f"fsm16/{ms}")
-            dtf = round(time.time() - t0, 1)
-            extra[f"fsm_rmat16_k2_ms{ms}_s"] = dtf
-            extra[f"fsm_rmat16_k2_ms{ms}_frequent"] = nf
-            sys.stderr.write(f"fsm rmat16 k=2 ms={ms}: {nf} in {dtf}s\n")
+        # minsup {300..5000}, max_edges=2). Own alarm + try so a slow grid
+        # cannot discard the citeseer device metrics above.
+        _alarm_off()
+        try:
+            _alarm(min(600, SECTION_TIMEOUT))
+            from graphminer_tpu.io.synth import rmat as _rmatf
+            g16 = _rmatf(16, 8, seed=7)
+            g16.vlabels = _np.random.default_rng(7).integers(
+                1, 5, g16.n_vertices).astype(_np.uint8)
+            for ms in (1000, 300):
+                t0 = time.time()
+                nf = _retry(lambda: fsm_count(g16, 2, ms),
+                            what=f"fsm16/{ms}")
+                dtf = round(time.time() - t0, 1)
+                extra[f"fsm_rmat16_k2_ms{ms}_s"] = dtf
+                extra[f"fsm_rmat16_k2_ms{ms}_frequent"] = nf
+                sys.stderr.write(f"fsm rmat16 k=2 ms={ms}: {nf} "
+                                 f"in {dtf}s\n")
+        except Exception as eg:
+            sys.stderr.write(f"fsm rmat16 grid: {type(eg).__name__}: "
+                             f"{eg}\n")
+            extra["fsm_rmat16_error"] = f"{type(eg).__name__}: {eg}"[:200]
+        finally:
+            _alarm_off()
     except Exception as e:
         sys.stderr.write(f"fsm on-device failed ({type(e).__name__}: {e});"
                          f" falling back to CPU subprocess\n")

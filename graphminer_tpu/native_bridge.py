@@ -90,6 +90,10 @@ def get_lib():
         if hasattr(lib, "gm_c4"):
             lib.gm_c4.restype = ctypes.c_int64
             lib.gm_c4.argtypes = [ctypes.c_int64, i64p, i32p]
+        if hasattr(lib, "gm_kclique"):
+            lib.gm_kclique.restype = ctypes.c_int64
+            lib.gm_kclique.argtypes = [ctypes.c_int64, i64p, i32p,
+                                       ctypes.c_int64]
         if hasattr(lib, "gm_csr_from_coo"):
             lib.gm_csr_from_coo.restype = ctypes.c_int64
             lib.gm_csr_from_coo.argtypes = [
@@ -239,6 +243,18 @@ def c4_anchor(rowptr: np.ndarray, colidx: np.ndarray):
     v = rowptr.shape[0] - 1
     return int(lib.gm_c4(v, np.ascontiguousarray(rowptr, np.int64),
                          np.ascontiguousarray(colidx, np.int32)))
+
+
+def kclique_dfs(rowptr: np.ndarray, colidx: np.ndarray, k: int):
+    """Reference-style DAG DFS k-clique count (gm_kclique) — independent
+    conformance backend for the bitmap/bilinear engines. None without the
+    lib; input must be the oriented DAG with sorted rows."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gm_kclique"):
+        return None
+    v = rowptr.shape[0] - 1
+    return int(lib.gm_kclique(v, np.ascontiguousarray(rowptr, np.int64),
+                              np.ascontiguousarray(colidx, np.int32), k))
 
 
 def count_multi(bases, rows, words: int, n_bits: int):

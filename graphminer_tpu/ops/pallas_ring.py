@@ -9,16 +9,21 @@ indices — the TPU analogue of the reference's shared-memory cached
 binary-search intersection (include/set_intersect.cuh:39-105,
 search.cuh:53-79).
 
-Availability: the kernel lowers and passes interpret-mode tests everywhere,
-and compiles on direct-attached TPU runtimes. The axon TUNNEL used by this
-session hangs on remote Mosaic compilation — PINNED REPRO in
-scripts/repro_mosaic_hang.py (a trivial 8x128 elementwise pallas_call
-blocks >20 min with ~0 CPU while plain-XLA programs on the same runtime
-compile in seconds-to-minutes; reproduced in rounds 3 and 4). RingEngine
-therefore defaults to use_pallas=False on this runtime; the measured
-performance story is the fused XLA stream (759M edge-tasks/s on-chip,
-ops/stream.py) — not this kernel. Pass use_pallas=True on direct-attached
-TPU deployments.
+Status (round 5): EXECUTED ON HARDWARE, EXACT. The rounds-3/4 tunnel
+Mosaic compile hang is fixed by the runtime's new AOT compile helper
+(scripts/repro_mosaic_hang.py now passes in 0.8 s); this kernel ran the
+full ring phase C on the chip with exact golden counts — rmat14
+(2,860,691) and rmat18 (82,947,332), 2026-08-21. Scalar-prefetch operands
+must fit the 1 MB SMEM, so big buckets split into <= SMEM_IDS-index
+launches.
+
+Performance: this v1 kernel is scalar-loop-bound (sequential per-slot
+row reads inside fori_loop) — measured 0.8M edge-tasks/s vs the fused XLA
+stream path's 134M on the same rmat18 ring layout. RingEngine therefore
+still defaults to use_pallas=False; the kernel stands as the working
+Pallas on-ramp (correctness-proven on hardware), and the production hot
+path remains the word-span-sliced XLA stream (ops/stream.py, ~1.3-2.9B
+edge-tasks/s).
 """
 from __future__ import annotations
 
@@ -71,6 +76,12 @@ except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
 
+#: max scalar-prefetch indices per launch — the flat dst_loc operand lives
+#: in SMEM (1 MB on v5e; measured hard error beyond it), so big buckets
+#: split into multiple launches of <= SMEM_IDS indices
+SMEM_IDS = 1 << 17
+
+
 def cbucket_partials_pallas(core_bm, src_bm, dst_loc, *, words: int, wc: int,
                             interpret: bool = False):
     """Phase-C partial sums [n_steps] int32 via the VMEM-core kernel.
@@ -81,10 +92,18 @@ def cbucket_partials_pallas(core_bm, src_bm, dst_loc, *, words: int, wc: int,
     infinitely (observed RecursionError in _convert_element_type_lowering_
     rule). All kernel math is explicit int32."""
     assert HAVE_PALLAS
+    rows = max(BLK, SMEM_IDS // max(wc, 1) // BLK * BLK)
     with jax.enable_x64(False):
-        return _cbucket_partials_pallas_x32(
-            core_bm, src_bm, dst_loc, words=words, wc=wc,
-            interpret=interpret)
+        if src_bm.shape[0] <= rows:
+            return _cbucket_partials_pallas_x32(
+                core_bm, src_bm, dst_loc, words=words, wc=wc,
+                interpret=interpret)
+        outs = [
+            _cbucket_partials_pallas_x32(
+                core_bm, src_bm[s:s + rows], dst_loc[s:s + rows],
+                words=words, wc=wc, interpret=interpret)
+            for s in range(0, src_bm.shape[0], rows)]
+        return jnp.concatenate(outs)
 
 
 def _cbucket_partials_pallas_x32(core_bm, src_bm, dst_loc, *, words: int,

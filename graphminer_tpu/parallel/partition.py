@@ -245,6 +245,29 @@ def triangle_count_segmented(g: HostGraph, n_segments: int,
     src, dst = rg.edge_list()
     total = 0
     for seg in csr_segmenting(rg, n_segments):
+        # segment task pruning (round 5): |N+_s(u) ∩ N+_s(v)| can only be
+        # nonzero when BOTH endpoints have neighbors inside the segment's
+        # column range — on power-law DAGs this drops the large majority
+        # of (task, segment) pairs (the r4 version re-streamed all E tasks
+        # per segment, paying n_segments × E reads for the cache-blocking
+        # it was meant to demonstrate)
+        sdeg = np.diff(seg.rowptr)
+        keep = (sdeg[src] > 0) & (sdeg[dst] > 0)
+        if not keep.any():
+            continue
         total += count_pattern(seg, TRIANGLE, chunk=chunk,
-                               tasks=(src, dst))
+                               tasks=(src[keep], dst[keep]))
     return total
+
+
+def segment_task_counts(g: HostGraph, n_segments: int):
+    """(pruned_tasks_per_segment, E) — the work model behind the pruning
+    above; Σ pruned << n_segments · E is the measurable benefit."""
+    rg = g if g.is_dag else \
+        g.relabel_by_degree(descending=False).orientation()
+    src, dst = rg.edge_list()
+    out = []
+    for seg in csr_segmenting(rg, n_segments):
+        sdeg = np.diff(seg.rowptr)
+        out.append(int(((sdeg[src] > 0) & (sdeg[dst] > 0)).sum()))
+    return out, int(src.shape[0])

@@ -50,6 +50,7 @@ class DevEmb:
     (transposed/SoA — see module docstring)."""
     buf: jax.Array
     n: int
+    sup: Optional[int] = None       # fused MNI support (None -> compute)
 
     @property
     def cap(self) -> int:
@@ -131,7 +132,10 @@ def _forward_extend_dev(dg: DeviceGraph, vlab, buf_p, n_p, at, label,
         return buf_c, off + m
 
     buf_c, n_c = jax.lax.fori_loop(0, n_blocks, step, (init, jnp.int32(0)))
-    return buf_c, n_c
+    # fused MNI support (valid only when n_c <= cap_c — the caller's
+    # overflow retry recomputes): saves one ~25 ms tunnel round trip per
+    # candidate pattern
+    return buf_c, n_c, _mni_support_device(buf_c)
 
 
 @functools.partial(jax.jit,
@@ -170,7 +174,7 @@ def _backward_filter_dev(dg: DeviceGraph, buf, n, p, q, elabel, *,
         return out, off + m
 
     out, n_c = jax.lax.fori_loop(0, n_blocks, step, (init, jnp.int32(0)))
-    return out, n_c
+    return out, n_c, _mni_support_device(out)
 
 
 @jax.jit
@@ -227,6 +231,8 @@ class _FSM:
     def support(self, de: DevEmb) -> int:
         if de.n == 0:
             return 0
+        if de.sup is not None:
+            return de.sup
         return int(_mni_support_device(de.buf))
 
     def initial_patterns(self) -> Dict[str, tuple]:
@@ -257,26 +263,25 @@ class _FSM:
                        elabel: int = 0) -> DevEmb:
         cap_c = _cap_for(max(de.n, 1))
         while True:
-            buf, n = _forward_extend_dev(
+            buf, n, sup = _forward_extend_dev(
                 self.dg, self.vlab, de.buf, jnp.int32(de.n),
                 jnp.int32(at), jnp.int32(label), jnp.int32(elabel),
                 width=self.width, nv=de.nv, cap_p=de.cap, cap_c=cap_c,
                 use_elab=self.use_elab)
             n = int(n)
             if n <= cap_c:
-                return DevEmb(buf=buf, n=n)
+                return DevEmb(buf=buf, n=n, sup=int(sup))
             from ..utils.profiling import PROFILER
             PROFILER.count("fsm_overflow_retries", 1)
             cap_c = _cap_for(n)       # overflow: retry with room
 
     def backward_filter(self, de: DevEmb, p: int, q: int,
                         elabel: int = 0) -> DevEmb:
-        buf, n = _backward_filter_dev(self.dg, de.buf, jnp.int32(de.n),
-                                      jnp.int32(p), jnp.int32(q),
-                                      jnp.int32(elabel),
-                                      width=self.width, nv=de.nv,
-                                      cap=de.cap, use_elab=self.use_elab)
-        return DevEmb(buf=buf, n=int(n))
+        buf, n, sup = _backward_filter_dev(
+            self.dg, de.buf, jnp.int32(de.n), jnp.int32(p), jnp.int32(q),
+            jnp.int32(elabel), width=self.width, nv=de.nv,
+            cap=de.cap, use_elab=self.use_elab)
+        return DevEmb(buf=buf, n=int(n), sup=int(sup))
 
     def run(self, k_edges: int) -> int:
         frontier = {}

@@ -87,7 +87,14 @@ def motif4_count(g, chunk: int = 2048, fast: bool = False) -> Dict[str, int]:
     np.add.at(t2, dst, tri_e)
     t_v = t2 // 2
 
-    c4_ni = count_pattern(g, RECTANGLE, chunk=chunk)
+    if fast:
+        # round 5: the max-anchored codegree engine (ops/rectangle.py)
+        # replaces the frontier for the last expensive building block —
+        # every motif4 term now has a fast-engine path
+        from ..ops.rectangle import rectangle_count_fast
+        c4_ni = rectangle_count_fast(g)
+    else:
+        c4_ni = count_pattern(g, RECTANGLE, chunk=chunk)
 
     diamond_ni = int(_comb2(tri_e).sum())
     tt_ni = int((t_v * (d - 2)).sum())

@@ -467,6 +467,67 @@ i64 gm_c4(i64 V, const i64* rowptr, const i32* colidx) {
   return total;
 }
 
+namespace {
+
+// sorted-merge intersection of cand[0..n) with N+(u); writes to out
+i64 isect_row(const i64* rowptr, const i32* colidx, const i32* cand, i64 n,
+              i32 u, i32* out) {
+  i64 a = 0, b = rowptr[u];
+  const i64 bend = rowptr[u + 1];
+  i64 m = 0;
+  while (a < n && b < bend) {
+    const i32 x = cand[a], y = colidx[b];
+    if (x < y) ++a;
+    else if (y < x) ++b;
+    else { out[m++] = x; ++a; ++b; }
+  }
+  return m;
+}
+
+i64 dfs_kclique(const i64* rowptr, const i32* colidx, const i32* cand,
+                i64 n, i64 depth, i64 k, i32* scratch, i64 maxd) {
+  if (depth == k - 1) return n;
+  i64 tot = 0;
+  for (i64 i = 0; i < n; ++i) {
+    const i64 m = isect_row(rowptr, colidx, cand, n, cand[i], scratch);
+    if (m) tot += dfs_kclique(rowptr, colidx, scratch, m, depth + 1, k,
+                              scratch + maxd, maxd);
+  }
+  return tot;
+}
+
+}  // namespace
+
+// Reference-style DAG DFS k-clique counter (the automine_omp.h:159-183
+// nested-loop semantics with sorted-merge intersections) — an INDEPENDENT
+// conformance backend for the bitmap/bilinear engines: different
+// algorithm family (per-vertex DFS + 2-pointer merges vs hi/lo MXU
+// bilinears + popcount streams), shares no code with them. Input must be
+// the oriented DAG with sorted rows.
+i64 gm_kclique(i64 V, const i64* rowptr, const i32* colidx, i64 k) {
+  i64 maxd = 0;
+  for (i64 v = 0; v < V; ++v)
+    maxd = std::max(maxd, rowptr[v + 1] - rowptr[v]);
+  if (k < 2 || maxd == 0) return k == 1 ? V : 0;
+  i64 total = 0;
+#ifdef _OPENMP
+#pragma omp parallel reduction(+ : total)
+#endif
+  {
+    std::vector<i32> scratch((size_t)maxd * std::max<i64>(1, k - 2));
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 16)
+#endif
+    for (i64 v = 0; v < V; ++v) {
+      const i64 n = rowptr[v + 1] - rowptr[v];
+      if (n < k - 1) continue;
+      total += dfs_kclique(rowptr, colidx, colidx + rowptr[v], n, 1, k,
+                           scratch.data(), maxd);
+    }
+  }
+  return total;
+}
+
 // Per-vertex degree histogram utility (scheduler work estimates).
 void gm_degrees(i64 V, const i64* rowptr, i32* deg) {
 #pragma omp parallel for schedule(static)

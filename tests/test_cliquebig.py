@@ -57,6 +57,22 @@ def test_clique6_rmat13_frozen_anchor():
     assert cliquebig_count(g, 6) == 631682339
 
 
+def test_clique6_rmat13_native_dfs_backend():
+    """Genuinely independent backend check of the rmat13 anchor: the
+    native reference-style DAG DFS counter (gm_kclique — sorted-merge
+    intersections, no shared code with the bilinear engines) reproduces
+    631,682,339. The rmat14 (3,345,978,434, 19 s) and rmat16
+    (59,924,973,905) goldens were verified with the same backend in
+    round 5 (scripts/verify history)."""
+    from graphminer_tpu import native_bridge
+    if native_bridge.get_lib() is None or \
+            not hasattr(native_bridge.get_lib(), "gm_kclique"):
+        pytest.skip("native lib unavailable")
+    g = rmat(13, 16, seed=7).relabel_by_degree(
+        descending=False).orientation()
+    assert native_bridge.kclique_dfs(g.rowptr, g.colidx, 6) == 631682339
+
+
 def test_streaming_chunk_invariance():
     """Chunked host expansion must not change the count (the r3 lesson:
     scale engines need tests where their chunking actually engages)."""

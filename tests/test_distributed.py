@@ -63,9 +63,14 @@ _WORKER = textwrap.dedent("""
     from graphminer_tpu.core.plan import TRIANGLE
     from graphminer_tpu.parallel.distributed import (init_distributed,
                                                      count_pattern_multiprocess)
-    coord, pid = sys.argv[1], int(sys.argv[2])
-    init_distributed(coordinator=coord, num_processes=2, process_id=pid)
+    from graphminer_tpu.parallel.partition import induced_partition_1d
+    coord, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    init_distributed(coordinator=coord, num_processes=nproc, process_id=pid)
     g = load_graph("/root/reference/inputs/citeseer/graph")
+    gd = g.orientation()
+    part = induced_partition_1d(gd, nproc, hops=1)[pid]
+    print(f"STATS pid={pid} owned={part.n_owned} "
+          f"local_edges={part.graph.n_edges}", flush=True)
     total = count_pattern_multiprocess(g, TRIANGLE)
     print(f"TOTAL={total}", flush=True)
     assert total == 1166, total
@@ -80,10 +85,7 @@ def _free_port():
     return p
 
 
-@pytest.mark.timeout(240)
-def test_two_process_allreduce(tmp_path):
-    """jax.distributed 2-process CPU run matching the citeseer golden —
-    the `mpirun -np 2 tc_dist_cpu` equivalence."""
+def _run_procs(tmp_path, nproc, timeout=220):
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
     coord = f"127.0.0.1:{_free_port()}"
@@ -91,13 +93,33 @@ def test_two_process_allreduce(tmp_path):
     env.pop("XLA_FLAGS", None)  # no virtual-device forcing in workers
     env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen(
-        [sys.executable, str(script), coord, str(i)],
+        [sys.executable, str(script), coord, str(nproc), str(i)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        cwd="/root/repo", env=env, text=True) for i in range(2)]
+        cwd="/root/repo", env=env, text=True) for i in range(nproc)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=220)
+        out, _ = p.communicate(timeout=timeout)
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
         assert "TOTAL=1166" in out, out[-2000:]
+        assert f"STATS pid={i} " in out, out[-2000:]
+    return outs
+
+
+@pytest.mark.timeout(240)
+def test_two_process_allreduce(tmp_path):
+    """jax.distributed 2-process CPU run matching the citeseer golden —
+    the `mpirun -np 2 tc_dist_cpu` equivalence."""
+    _run_procs(tmp_path, 2)
+
+
+@pytest.mark.timeout(420)
+def test_four_process_allreduce(tmp_path):
+    """4-process spawn (the north-star's 4-way multi-host shape): each
+    rank prints its partition stats (owned vertices, halo-local edges) and
+    the allgather-summed global count must be the exact golden."""
+    outs = _run_procs(tmp_path, 4, timeout=400)
+    stats = [l for out in outs for l in out.splitlines()
+             if l.startswith("STATS")]
+    assert len(stats) == 4

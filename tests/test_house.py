@@ -78,3 +78,26 @@ def test_citeseer_golden(citeseer):
 def test_workload_routing(citeseer):
     from graphminer_tpu.workloads.sgl import sgl_count
     assert sgl_count(citeseer, "house", backend="fast") == 55359
+
+
+@pytest.mark.slow
+def test_rmat13_dense_anchor():
+    """Scale anchor via the dense identity (per-edge tri/T3 from A²/A³ —
+    scripts/verify_dense_r5.py methodology, which independently verified
+    the frozen rmat14 golden 294,814,195,705 in round 5). BLAS dtypes:
+    f32 codegrees (< 2^24 exact) and f64 3-walks (< 2^53 exact)."""
+    g = rmat(13, 16, seed=7)
+    rg = g.relabel_by_degree(descending=False)
+    v = rg.n_vertices
+    a = np.zeros((v, v), dtype=np.float32)
+    srcs = np.repeat(np.arange(v), np.diff(rg.rowptr))
+    a[srcs, rg.colidx] = 1.0
+    w = (a @ a).astype(np.int64)
+    a3 = (w.astype(np.float64) @ a.astype(np.float64)).astype(np.int64)
+    keep = rg.colidx > srcs
+    eu, ev = srcs[keep], rg.colidx[keep]
+    tri = w[eu, ev]
+    deg = np.diff(rg.rowptr).astype(np.int64)
+    sq = a3[eu, ev] - deg[eu] - deg[ev] + 1
+    want = int((tri * (sq - 2 * (tri - 1))).sum())
+    assert house_count_fast(g) == want

@@ -134,7 +134,13 @@ def test_fetch_partitions_roundtrip(tmp_path, citeseer):
 def test_triangle_count_segmented(rand_graphs, citeseer):
     """csr_segmenting consumer: column-segmented TC is exact
     (graph_partition.h:44-48 cache blocking, one segment resident/pass)."""
-    from graphminer_tpu.parallel.partition import triangle_count_segmented
+    from graphminer_tpu.parallel.partition import (segment_task_counts,
+                                                   triangle_count_segmented)
     g = rand_graphs[2]
     assert triangle_count_segmented(g, 3) == oracle.triangles(g)
     assert triangle_count_segmented(citeseer, 4) == 1166
+    # the pruning's measurable benefit: Σ per-segment tasks must be well
+    # under the r4 version's n_segments · E re-streaming (power-law ids
+    # concentrate neighbors, so most (task, segment) pairs are dead)
+    per_seg, e = segment_task_counts(citeseer, 4)
+    assert sum(per_seg) < 2 * e, (per_seg, e)
