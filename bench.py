@@ -42,8 +42,9 @@ BENCH_BASELINE_EDGES_PER_S = 1.0e9
 # near the tunnel's timing jitter — so the slope is reported as an honest
 # BAND: the headline value is the MEDIAN-based slope (robust floor), the
 # min-based slope (best case; jitter is one-sided) rides in extra_metrics.
-# (rmat19 was evaluated as a bigger-signal headline and rejected: its
-# stream layout is span-degraded to ~870 B/task — see PROGRESS notes.)
+# (rmat19 was evaluated as a bigger-signal headline and rejected: with
+# the fixed 4096-core its stream layout degrades to ~870 B/task — the
+# span classes stop biting; see ops/stream.py docstring.)
 SCALE = int(os.environ.get("BENCH_SCALE", "18"))
 WSCALE = int(os.environ.get("BENCH_WORK_SCALE", "18"))
 EDGE_FACTOR = int(os.environ.get("BENCH_EDGE_FACTOR", "16"))
@@ -71,13 +72,14 @@ GOLDEN_C6 = {(13, 16): 631682339, (14, 16): 3345978434,
 # rectangle/house fast-engine goldens keyed (pattern, scale, ef).
 # rectangle rmat14 verified against the dense-numpy pair identity
 # (scripts/verify_dense_r5.py) and rmat18 split-checked core=4096 vs 1024
-# (disjoint case partitions) on two chip runs. House rmat18 is left
-# UNPINNED on purpose: the section then split-checks it in-run every time.
+# (disjoint case partitions) on two chip runs; house rmat14 = dense A³
+# identity, rmat18 split-checked core=4096 vs 2048 on the chip.
 GOLDEN_SGL = {("rectangle", 12, 16): 52988519,
               ("rectangle", 13, 16): 172972822,
               ("rectangle", 14, 16): 571816674,
               ("rectangle", 18, 16): 51349430411,
-              ("house", 14, 16): 294814195705}
+              ("house", 14, 16): 294814195705,
+              ("house", 18, 16): 71686049455877}
 
 
 class _SectionTimeout(Exception):
@@ -234,15 +236,22 @@ def main():
                 de = slope["tasks_full"] - slope["tasks_half"]
                 slope_min = slope["edges_per_s"]
                 slope_med = de / max(med(tf) - med(th), 1e-9)
-                # honest band: the device work (~1-3 ms at rmat18) sits
-                # near the tunnel jitter, so the MEDIAN-based slope is the
-                # headline (robust floor) and the min-based slope (best
-                # case — jitter is one-sided) is reported alongside; a
-                # degenerate median sample falls back to the min slope
-                edges_per_s = slope_med if 0 < slope_med < 4 * slope_min \
-                    else slope_min
+                # the device work (~2-3 ms at rmat18) sits near the
+                # tunnel's one-sided timing jitter, so single-order
+                # statistics scatter (observed min-based 0.9e9 vs
+                # median-based 2.3e9 in one run). The headline is the
+                # TRIMMED-MEAN slope — drop the slowest third of samples
+                # on each side (delay noise only), average the rest — and
+                # the min/median estimators are reported as the band.
+                trim = lambda x: sorted(x)[: max(1, 2 * len(x) // 3)]
+                tmean = lambda x: sum(trim(x)) / len(trim(x))
+                slope_trim = de / max(tmean(tf) - tmean(th), 1e-9)
+                cands = [s for s in (slope_trim, slope_med, slope_min)
+                         if s > 0]
+                edges_per_s = cands[0] if cands else 0.0
                 extra["tc_edges_per_s_slope_min"] = slope_min
                 extra["tc_edges_per_s_slope_median"] = slope_med
+                extra["tc_edges_per_s_slope_trimmed"] = slope_trim
                 sys.stderr.write(
                     f"triangles={total} slope={edges_per_s/1e6:.1f}M "
                     f"edges/s latency={min(tf)*1e3:.1f}ms (spread "
@@ -545,6 +554,33 @@ def main():
             sys.stderr.write(f"fsm rmat16 grid: {type(eg).__name__}: "
                              f"{eg}\n")
             extra["fsm_rmat16_error"] = f"{type(eg).__name__}: {eg}"[:200]
+            # bounded CPU-subprocess fallback so SOME scale-FSM number is
+            # always captured (labeled rmat14, the r4 ask)
+            try:
+                import subprocess as _sp
+                code = (
+                    "import jax; jax.config.update('jax_platforms','cpu')\n"
+                    "import time, numpy as np, sys\n"
+                    "sys.path.insert(0, %r)\n"
+                    "from graphminer_tpu.io.synth import rmat\n"
+                    "from graphminer_tpu.workloads.fsm import fsm_count\n"
+                    "g = rmat(14, 8, seed=7)\n"
+                    "g.vlabels = np.random.default_rng(7).integers(\n"
+                    "    1, 5, g.n_vertices).astype(np.uint8)\n"
+                    "t0 = time.time(); n = fsm_count(g, 2, 300)\n"
+                    "print(n, round(time.time() - t0, 1))\n"
+                ) % (os.path.dirname(os.path.abspath(__file__)),)
+                r = _sp.run([sys.executable, "-c", code],
+                            capture_output=True, timeout=420)
+                if r.returncode == 0:
+                    nf, dtf = r.stdout.decode().split()
+                    extra["fsm_rmat14_k2_ms300_frequent"] = int(nf)
+                    extra["fsm_rmat14_k2_ms300_s"] = float(dtf)
+                    extra["fsm_rmat14_backend"] = "cpu-subprocess"
+                    sys.stderr.write(
+                        f"fsm rmat14 (cpu): {nf} in {dtf}s\n")
+            except Exception as ef:
+                sys.stderr.write(f"fsm rmat14 fallback failed: {ef}\n")
         finally:
             _alarm_off()
     except Exception as e:

@@ -363,7 +363,12 @@ class CliqueBigEngine:
     CAP6 = 4 << 20        # quad capacity per dispatch
     QSLAB = 1 << 14       # quads per bilinear slab inside the kernel
     Y2FULL_BUDGET = 4 << 30
-    DEV6_MIN_TRIS = 1 << 18   # below this the host streaming path wins
+    # below this tri count the host streaming path wins: a full rmat14 run
+    # through the device quad-expansion took 716 s (compile + fixed-shape
+    # dispatch overhead) vs 13.4 s host-streamed; the device path exists
+    # for the rmat18-class runs where shipping materialized quads over the
+    # tunnel (~16 B/task, ~20 min measured) is the bottleneck
+    DEV6_MIN_TRIS = 1 << 25
 
     def _count6_device(self) -> Optional[int]:
         """k=6 fast path: device-side quad expansion (see

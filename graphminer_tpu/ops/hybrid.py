@@ -14,10 +14,13 @@ The fix is the stream engine's trick (ops/stream.py) applied ONLY where it
 is affordable: sub-core tasks get prep-time MATERIALIZED task-aligned src
 rows — every count-time read is a sequential HBM stream (measured
 ~460M tasks/s) — while the dominant core-dst tasks keep the O(V·row)
-ring table. Memory: O(V·row + E_core·4B + E_subcore·row) — the
-materialization applies only to the minority sub-core slice, so
-LiveJournal-class graphs still fit one chip (rmat20: ~3.5 GB vs ~13 GB for
-a full stream; the pure ring is ~1 GB but 10x slower).
+ring table. Memory: O(V·row + E_core·4B + E_subcore·row). Round-5
+reality check (exact plan_only sizing): at rmat20 the sub-core slice
+measures 16.1 GB — sub-dst tasks carry wide T-compare slots (wta·4B per
+slot) that dwarf the bitmap part — so this tier serves rmat18/19-class
+graphs; rmat20+ runs the pure ring (~1 GB, 10x slower). bench.py gates
+the tier on the exact pre-build estimate instead of discovering this as
+an OOM (the r4 failure mode).
 
 Parity: the reference's tiered strategy choice per edge class
 (src/common.mk:73-74 strategy dispatch; include/set_intersect.cuh cached

@@ -22,15 +22,24 @@ wall, ~65ns/task). Measured on the chip, both lose to a pure-stream design:
     map serialized the pipeline. Measured on the chip (rmat18): 759M
     edge-tasks/s marginal (two-size slope) vs 351M mapped; dispatch
     latency 57 ms vs 107 ms.
+  * Round 5: dst word-span bucket classes (WS_CLASSES) slice BOTH sides'
+    bitmap rows to the dst's top-word span — lossless (a & 0 = 0) and,
+    with degree-ascending ids, most dst rows live entirely in the top 32
+    words. rmat18: 3.28 GB -> 2.12 GB materialized, device time ~1-3 ms,
+    slope band ~1.3-2.9B edge-tasks/s (median/min over samples; the
+    engine sits at the HBM roofline, ~560 B/task at ~700+ GB/s). At
+    rmat19 the span classes stop biting (~870 B/task) — the fixed core
+    means deeper sub-core rows dominate; scaling past rmat18 at full
+    speed needs a scale-proportional core (future work, noted honestly).
 
 This replaces both reference device strategies at once — the warp
 binary-search intersection (include/set_intersect.cuh:6-105) and the matrix
 subsystem (src/matrix/omp_mm.cpp:104-215) — with fixed-shape streaming that
-XLA pipelines at HBM bandwidth. Memory cost: every task slot materializes a
-full (words + wta)-int32 src row, i.e. O(E * (words + wta) * 4B) — measured
-3.28 GB for rmat18 (15 MB CSR), so this engine is for graphs up to ~2^19
-DAG-edges-per-GB of HBM. ops/ring.py is the memory-lean successor
-(O(V * row + E * 4B)) that scales to LiveJournal-class graphs.
+XLA pipelines at HBM bandwidth. Memory cost: every task slot materializes
+its dst-span slice of the src row — measured 2.12 GB for rmat18 (15 MB
+CSR), so this engine is for graphs up to ~2^19-2^20 DAG-edges-per-GB of
+HBM. ops/ring.py is the memory-lean successor (O(V * row + E * 4B)) that
+scales to LiveJournal-class graphs.
 """
 from __future__ import annotations
 
