@@ -60,7 +60,11 @@ C6_SCALE = int(os.environ.get("BENCH_CLIQUE6_SCALE", str(min(WSCALE, 14))))
 # between >= 2 independent backends
 GOLDEN = {(14, 16): 2860691, (16, 16): 15623664, (18, 16): 82947332,
           (19, 16): 187885040}   # r5: stream and ring chip runs agree
-GOLDEN_CK = {(18, 16, 4): 2280263816}  # cross-checked vs wedge-Gram engine
+GOLDEN_CK = {(18, 16, 4): 2280263816,  # cross-checked vs wedge-Gram engine
+             # r5: the rebuilt bucketed-stream k=5 engine reproduces the
+             # r4 per-triangle-gather engine's count (different task
+             # pipelines, same bilinear), stable across 4+ chip runs
+             (18, 16, 5): 55374832965}
 # 6-cliques keyed (scale, ef). Round 5: rmat13/14/16 CONFIRMED by the
 # genuinely independent native DAG-DFS backend (gm_kclique — sorted-merge
 # intersections, zero shared code with the bilinear engines); rmat13 also

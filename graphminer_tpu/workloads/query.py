@@ -69,17 +69,27 @@ def gql_candidates(g, query: PatternGraph, use_kcore: bool = True
         for q in range(vq):
             cand[q] &= core >= qcore[q]
 
-    # one refinement round: candidate must see a candidate of every q-neighbor
+    # neighborhood refinement to FIXPOINT (bounded): candidate must see a
+    # candidate of every q-neighbor — iterating propagates pruning through
+    # the query graph (the reference's pruneCandidates loop, filter.cc; a
+    # single round only reached distance-1 effects)
     deg_all = np.diff(g.rowptr)
     src = np.repeat(np.arange(v, dtype=np.int64), deg_all)
-    for q in range(vq):
-        for qn in range(vq):
-            if not qadj[q, qn] or not cand[q].any():
-                continue
-            has = np.zeros(v, dtype=bool)
-            sees = cand[qn][g.colidx]        # edge (u, w): w candidate of qn
-            np.logical_or.at(has, src[sees], True)
-            cand[q] &= has
+    for _ in range(max(2, vq)):
+        changed = False
+        for q in range(vq):
+            for qn in range(vq):
+                if not qadj[q, qn] or not cand[q].any():
+                    continue
+                has = np.zeros(v, dtype=bool)
+                sees = cand[qn][g.colidx]    # edge (u, w): w candidate of qn
+                np.logical_or.at(has, src[sees], True)
+                new = cand[q] & has
+                if not np.array_equal(new, cand[q]):
+                    cand[q] = new
+                    changed = True
+        if not changed:
+            break
     return cand
 
 
