@@ -28,9 +28,11 @@ wall, ~65ns/task). Measured on the chip, both lose to a pure-stream design:
     words. rmat18: 3.28 GB -> 2.12 GB materialized, device time ~1-3 ms,
     slope band ~1.3-2.9B edge-tasks/s (median/min over samples; the
     engine sits at the HBM roofline, ~560 B/task at ~700+ GB/s). At
-    rmat19 the span classes stop biting (~870 B/task) — the fixed core
-    means deeper sub-core rows dominate; scaling past rmat18 at full
-    speed needs a scale-proportional core (future work, noted honestly).
+    rmat19+ the bytes/task degrade (~870 B at 19, ~1285 B at 20 — exact
+    plan_only sizing): the fat part is sub-core dst T-compare slots, and
+    a core sweep shows BIGGER cores only add bitmap words (rmat19:
+    4096/8192/16384-core = 6.8/10.9/20.9 GB). The future lever is a
+    second-level bitmap for mid-degree tail ids, not core size.
 
 This replaces both reference device strategies at once — the warp
 binary-search intersection (include/set_intersect.cuh:6-105) and the matrix
