@@ -194,6 +194,26 @@ def _mni_support_device(buf: jax.Array):
 # host-side search (pattern bookkeeping only — no embedding bytes)
 # --------------------------------------------------------------------------
 
+#: anchor-degree width classes for WIDE graphs (see _call_width): the
+#: extension gather costs cap x width slots, and on power-law graphs the
+#: global max degree is 10-100x the typical anchor's degree — classing
+#: recovers that factor. Engages only when max_degree > WIDTH_CLASS_MIN
+#: (small graphs keep the single-shape path: each extra class is another
+#: remote compile and each dmax probe is a ~25 ms tunnel round trip).
+WIDTH_CLASS_MIN = 1024
+FSM_WIDTH_CLASSES = (128, 1024)
+
+
+@jax.jit
+def _anchor_maxdeg(degs, buf, at):
+    """Max degree over the live anchors of column-resident embeddings
+    (dead columns are SENTINEL throughout — init + compaction invariant)."""
+    anchors = jnp.take(buf, at, axis=0)
+    ok = anchors != SENTINEL
+    d = degs[jnp.clip(anchors, 0, degs.shape[0] - 1)]
+    return jnp.max(jnp.where(ok, d, 0))
+
+
 class _FSM:
     def __init__(self, g, minsup: int, max_width: Optional[int] = None):
         assert g.vlabels is not None, "FSM needs vertex labels"
@@ -202,6 +222,7 @@ class _FSM:
         self.dg = DeviceGraph.from_host(g)
         self.vlab = jnp.asarray(g.vlabels.astype(np.int32))
         self.width = max_width or max(8, g.max_degree)
+        self.degs = jnp.asarray(np.diff(g.rowptr).astype(np.int32))
         freq = np.bincount(g.vlabels.astype(np.int64))
         self.freq_labels = set(int(l) for l in np.nonzero(freq >= minsup)[0])
         # edge labels (gSpan DFS codes carry elabels — src/fsm/dfscode.h);
@@ -212,6 +233,16 @@ class _FSM:
         # every extension edge to these triples exact (omp_base.cc's
         # frequent-edge pruning)
         self.freq_triples: set = set()
+
+    def _call_width(self, buf, at) -> int:
+        """Width class covering this call's anchors (wide graphs only)."""
+        if self.width <= WIDTH_CLASS_MIN:
+            return self.width
+        dmax = int(_anchor_maxdeg(self.degs, buf, jnp.int32(at)))
+        for c in FSM_WIDTH_CLASSES:
+            if dmax <= c:
+                return c
+        return self.width
 
     def _ext_candidates(self, la: int):
         """(elabel, other_vlabel) pairs allowed at a vertex labeled la."""
@@ -262,11 +293,12 @@ class _FSM:
     def forward_extend(self, de: DevEmb, at: int, label: int,
                        elabel: int = 0) -> DevEmb:
         cap_c = _cap_for(max(de.n, 1))
+        w = self._call_width(de.buf, at)
         while True:
             buf, n, sup = _forward_extend_dev(
                 self.dg, self.vlab, de.buf, jnp.int32(de.n),
                 jnp.int32(at), jnp.int32(label), jnp.int32(elabel),
-                width=self.width, nv=de.nv, cap_p=de.cap, cap_c=cap_c,
+                width=w, nv=de.nv, cap_p=de.cap, cap_c=cap_c,
                 use_elab=self.use_elab)
             n = int(n)
             if n <= cap_c:
@@ -279,8 +311,8 @@ class _FSM:
                         elabel: int = 0) -> DevEmb:
         buf, n, sup = _backward_filter_dev(
             self.dg, de.buf, jnp.int32(de.n), jnp.int32(p), jnp.int32(q),
-            jnp.int32(elabel), width=self.width, nv=de.nv,
-            cap=de.cap, use_elab=self.use_elab)
+            jnp.int32(elabel), width=self._call_width(de.buf, p),
+            nv=de.nv, cap=de.cap, use_elab=self.use_elab)
         return DevEmb(buf=buf, n=int(n), sup=int(sup))
 
     def run(self, k_edges: int) -> int:
