@@ -540,7 +540,11 @@ def main():
         # cannot discard the citeseer device metrics above.
         _alarm_off()
         try:
-            _alarm(min(600, SECTION_TIMEOUT))
+            # short leash: measured (round 5) that rmat16-on-device is
+            # remote-compile-bound past any reasonable window (25 min was
+            # not enough even with degree-classed widths); the rmat14 CPU
+            # fallback below is the reliable scale capture
+            _alarm(min(300, SECTION_TIMEOUT))
             from graphminer_tpu.io.synth import rmat as _rmatf
             g16 = _rmatf(16, 8, seed=7)
             g16.vlabels = _np.random.default_rng(7).integers(
