@@ -10,8 +10,9 @@ Fig. 7 scale).
 Timing methodology (the tunneled chip adds a ~25 ms round trip to EVERY
 dispatch and does not pipeline): device throughput is measured by the
 two-size SLOPE — time the full stream and a half-rows stream as single
-dispatches (min over samples) and divide the task delta by the time delta,
-which cancels the fixed tunnel cost exactly. Sustained dispatch throughput
+dispatches (trimmed-mean over samples; min/median reported as the band)
+and divide the task delta by the time delta, which cancels the fixed
+tunnel cost exactly. Sustained dispatch throughput
 (including the tunnel floor) and single-dispatch latency are reported
 alongside, with per-sample spreads.
 
@@ -40,8 +41,8 @@ BENCH_BASELINE_EDGES_PER_S = 1.0e9
 
 # round 5: the word-span-sliced stream cut rmat18 device time to ~1-3 ms —
 # near the tunnel's timing jitter — so the slope is reported as an honest
-# BAND: the headline value is the MEDIAN-based slope (robust floor), the
-# min-based slope (best case; jitter is one-sided) rides in extra_metrics.
+# BAND: the headline value is the TRIMMED-MEAN slope (drop the slowest
+# third per side), with the min- and median-based estimators alongside.
 # (rmat19 was evaluated as a bigger-signal headline and rejected: with
 # the fixed 4096-core its stream layout degrades to ~870 B/task — the
 # span classes stop biting; see ops/stream.py docstring.)
